@@ -1,0 +1,212 @@
+"""blasr-equivalent CLI driver.
+
+Mirrors the reference driver's flow (``main``, Blasr.cpp:875-1549):
+parse options -> make_sane -> load/build index -> map reads in batches ->
+mapQV -> filter/nbest/hit-policy -> print.  Flag names follow
+iblasr/RegisterBlasrOptions.h (POSIX --long convention since v5.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+from blasr_tpu.index.genome import GenomeIndex, build_genome_index
+from blasr_tpu.io import formats
+from blasr_tpu.io.fasta import read_fasta, read_sequences
+from blasr_tpu.io.fofn import expand_file_name_list
+from blasr_tpu.params import MappingParams, ShapeConfig
+from blasr_tpu.pipeline.map_read import Mapper
+from blasr_tpu.pipeline.select import select_alignments, store_map_qvs, zmw_rand_int
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="blasr_tpu",
+        description="TPU-native long-read mapper with BLASR's capabilities")
+    ap.add_argument("reads", help="reads file (fasta/fastq/fofn)")
+    ap.add_argument("genome", help="reference genome fasta")
+    ap.add_argument("--out", "-o", default="-", help="output file")
+    ap.add_argument("-m", dest="printFormat", type=int, default=None,
+                    help="output format 0..5 (m0..m5)")
+    ap.add_argument("--sam", action="store_true", help="SAM output")
+    ap.add_argument("--bam", action="store_true", help="BAM output")
+    ap.add_argument("--sa", default=None, help="prebuilt index (.npz)")
+    ap.add_argument("--ctab", default=None, help="(accepted; ctab is part of the index)")
+    ap.add_argument("--minMatch", type=int, default=12)
+    ap.add_argument("--maxMatch", type=int, default=0)
+    ap.add_argument("--maxAnchorsPerPosition", type=int, default=10000)
+    ap.add_argument("--advanceExactMatches", type=int, default=0)
+    ap.add_argument("--nCandidates", type=int, default=10)
+    ap.add_argument("--bestn", type=int, default=10)
+    ap.add_argument("--maxScore", type=int, default=-200)
+    ap.add_argument("--minAlnLength", type=int, default=0)
+    ap.add_argument("--minPctSimilarity", type=float, default=0.0)
+    ap.add_argument("--minPctAccuracy", type=float, default=0.0)
+    ap.add_argument("--hitPolicy", default="all",
+                    choices=["all", "allbest", "random", "randombest", "leftmost"])
+    ap.add_argument("--randomSeed", type=int, default=0)
+    ap.add_argument("--minReadLength", type=int, default=50)
+    ap.add_argument("--maxReadLength", type=int, default=0)
+    ap.add_argument("--indel", type=int, default=5)
+    ap.add_argument("--insertion", type=int, default=4)
+    ap.add_argument("--deletion", type=int, default=5)
+    ap.add_argument("--match", type=int, default=0)
+    ap.add_argument("--mismatch", type=int, default=0)
+    ap.add_argument("--affineAlign", action="store_true")
+    ap.add_argument("--affineOpen", type=int, default=10)
+    ap.add_argument("--affineExtend", type=int, default=0)
+    ap.add_argument("--indelRate", type=float, default=0.3)
+    ap.add_argument("--clipping", default="none",
+                    choices=["none", "hard", "soft", "subread"])
+    ap.add_argument("--cigarUseSeqMatch", action="store_true")
+    ap.add_argument("--allowAdjacentIndels", action="store_true")
+    ap.add_argument("--header", action="store_true", help="print header")
+    ap.add_argument("--forwardOnly", action="store_true")
+    ap.add_argument("--preserveReadTitle", action="store_true")
+    ap.add_argument("--unaligned", default=None, help="unaligned reads file")
+    ap.add_argument("--noPrintUnalignedSeqs", action="store_true")
+    ap.add_argument("--start", type=int, default=0, help="start read index")
+    ap.add_argument("--stride", type=int, default=1, help="read stride")
+    ap.add_argument("--subsample", type=float, default=1.1)
+    ap.add_argument("--nproc", type=int, default=1,
+                    help="accepted for compatibility; device batch is used")
+    ap.add_argument("--scaleMapQVByNClusters", action="store_true")
+    ap.add_argument("--concordant", action="store_true")
+    ap.add_argument("--useccs", action="store_true")
+    ap.add_argument("--useccsall", action="store_true")
+    ap.add_argument("--useccsdenovo", action="store_true")
+    ap.add_argument("-V", "--verbose", type=int, default=0, nargs="?", const=1)
+    return ap
+
+
+def params_from_args(args) -> MappingParams:
+    fmt = "m1"
+    if args.sam:
+        fmt = "sam"
+    elif args.bam:
+        fmt = "bam"
+    elif args.printFormat is not None:
+        fmt = f"m{args.printFormat}"
+    return MappingParams(
+        min_match_length=args.minMatch,
+        max_match_length=args.maxMatch,
+        max_anchors_per_position=args.maxAnchorsPerPosition,
+        advance_exact_matches=args.advanceExactMatches,
+        n_candidates=args.nCandidates,
+        n_best=args.bestn,
+        max_score=args.maxScore,
+        use_score_cutoff=args.maxScore != -200,
+        min_aln_length=args.minAlnLength,
+        min_pct_similarity=args.minPctSimilarity,
+        min_pct_accuracy=args.minPctAccuracy,
+        hit_policy=args.hitPolicy,
+        random_seed=args.randomSeed,
+        use_random_seed=args.randomSeed != 0,
+        min_read_length=args.minReadLength,
+        max_read_length=args.maxReadLength,
+        indel=args.indel, insertion=args.insertion, deletion=args.deletion,
+        match=args.match, mismatch=args.mismatch,
+        affine_align=args.affineAlign, affine_open=args.affineOpen,
+        affine_extend=args.affineExtend,
+        indel_rate=args.indelRate,
+        clipping=args.clipping,
+        cigar_use_seq_match=args.cigarUseSeqMatch,
+        allow_adjacent_indels=args.allowAdjacentIndels,
+        print_header=args.header,
+        forward_only=args.forwardOnly,
+        preserve_read_title=args.preserveReadTitle,
+        print_unaligned=args.unaligned is not None,
+        start_read=args.start, stride=args.stride, subsample=args.subsample,
+        scale_mapqv_by_num_significant_clusters=args.scaleMapQVByNClusters,
+        concordant=args.concordant,
+        use_ccs=args.useccs or args.useccsall,
+        use_all_subreads_in_ccs=args.useccsall,
+        use_ccs_only=args.useccsdenovo,
+        print_format=fmt,
+        verbosity=args.verbose or 0,
+    ).make_sane()
+
+
+def log(msg: str) -> None:
+    ts = time.strftime("%c")
+    sys.stderr.write(f"[INFO] {ts} [blasr_tpu] {msg}\n")
+
+
+def run(argv: Optional[List[str]] = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    params = params_from_args(args)
+    log("started.")
+
+    if args.sa:
+        gi = GenomeIndex.load(args.sa)
+    else:
+        contigs = read_fasta(args.genome)
+        gi = build_genome_index(
+            contigs, k=min(params.min_match_length, 16))
+
+    reads = []
+    for path in expand_file_name_list([args.reads]):
+        reads.extend(read_sequences(path))
+    # --start/--stride process-level sharding (Blasr.cpp:1270)
+    reads = reads[params.start_read::max(1, params.stride)]
+
+    mapper = Mapper(gi, params)
+    per_read = mapper.map_reads(reads)
+
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    unaligned_f = open(args.unaligned, "w") if args.unaligned else None
+    try:
+        emit(out, unaligned_f, reads, per_read, gi, params,
+             cmdline=" ".join(argv or sys.argv[1:]))
+    finally:
+        if out is not sys.stdout:
+            out.close()
+        if unaligned_f:
+            unaligned_f.close()
+    log("ended.")
+    return 0
+
+
+def emit(out, unaligned_f, reads, per_read, gi, params, cmdline=""):
+    fmt = params.print_format
+    if fmt == "sam":
+        out.write(formats.sam_header(gi, cmdline))
+    elif fmt == "m4" and params.print_header:
+        out.write(formats.M4_HEADER)
+    for rec, alns in zip(reads, per_read):
+        store_map_qvs(alns, params)
+        rint = zmw_rand_int(rec.name, params.random_seed)
+        chosen = select_alignments(alns, params, rint)
+        if not chosen:
+            if unaligned_f is not None:
+                formats.write_unaligned(unaligned_f, rec.name, rec.seq,
+                                        params.print_unaligned and False)
+            continue
+        for a in chosen:
+            if fmt == "sam" or fmt == "bam":
+                formats.write_sam(out, a, params)
+            elif fmt == "m0":
+                formats.write_m0(out, a, gi)
+            elif fmt == "m1":
+                formats.write_m1(out, a)
+            elif fmt == "m2":
+                formats.write_m2(out, a, gi)
+            elif fmt == "m3":
+                formats.write_m3(out, a)
+            elif fmt == "m4":
+                formats.write_m4(out, a)
+            elif fmt == "m5":
+                formats.write_m5(out, a, gi)
+            else:
+                raise ValueError(f"unknown format {fmt}")
+
+
+def main() -> None:
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()

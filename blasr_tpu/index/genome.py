@@ -1,0 +1,179 @@
+"""Genome index: concatenated packed genome + seqdb + sorted k-mer anchor index.
+
+TPU-first redesign of the reference's index stack:
+
+  * reference: 3-bit genome + Larsson-Sadakane suffix array + 8-mer prefix
+    lookup table + TupleCountTable (Blasr.cpp:1082-1147).
+  * here: int8 genome codes + a *sorted fixed-k k-mer table*
+    (keys_sorted, pos_sorted) giving every anchor-seed hit via one
+    vectorized ``searchsorted`` — the device-friendly equivalent of
+    "lookup-table jump + SA binary search" (MapBySuffixArray usage at
+    iblasr/BlasrAlignImpl.hpp:34-58).  Maximal-match extension beyond k is
+    done by direct genome comparison in the anchor kernel.
+  * TupleCountTable equivalent: k-mer occurrence counts for the
+    tuple-frequency P-value weightor, derivable from the same sorted table.
+
+Contigs are concatenated with a single N separator; any k-window crossing a
+boundary contains the N and is excluded from the index, and alignment
+windows are clamped to contig bounds via the seqdb
+(cf. BlasrAlignImpl.hpp:660-698).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from blasr_tpu.io.fasta import FastaRecord, md5_of_seq
+from blasr_tpu.index.suffix_array import kmer_keys
+
+SPACER = 1  # N bases between concatenated contigs
+
+
+@dataclass
+class SeqDB:
+    """Contig name/offset table over the concatenated genome
+    (reference SequenceIndexDatabase, Blasr.cpp:1001-1013)."""
+
+    names: List[str]
+    starts: np.ndarray   # int64 [n_contigs] offset in concatenated genome
+    lengths: np.ndarray  # int64 [n_contigs]
+    md5s: List[str]
+
+    @property
+    def n_contigs(self) -> int:
+        return len(self.names)
+
+    def search_for_index(self, gpos: int) -> int:
+        """Contig index containing concatenated-genome position gpos."""
+        i = int(np.searchsorted(self.starts, gpos, side="right") - 1)
+        return max(0, min(i, self.n_contigs - 1))
+
+    def genome_to_chrom(self, gpos: int):
+        i = self.search_for_index(gpos)
+        return i, int(gpos - self.starts[i])
+
+    def chrom_to_genome(self, contig: int, pos: int) -> int:
+        return int(self.starts[contig] + pos)
+
+    def contig_bounds(self, contig: int):
+        s = int(self.starts[contig])
+        return s, s + int(self.lengths[contig])
+
+
+@dataclass
+class GenomeIndex:
+    genome: np.ndarray        # int8 [G] codes, contigs + N spacers
+    seqdb: SeqDB
+    k: int                    # seed length of the sorted k-mer table
+    keys_sorted: np.ndarray   # uint32/uint64 [M] sorted k-mer keys
+    pos_sorted: np.ndarray    # int32/int64 [M] genome positions, key-sorted
+    ctab_k: int               # tuple-count table k (reference default 8)
+    ctab: np.ndarray          # int32 [4^ctab_k] genome k-mer counts
+    suffix_array: Optional[np.ndarray] = None  # full SA (tools / --sa parity)
+
+    @property
+    def glen(self) -> int:
+        return len(self.genome)
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            version=np.int32(1),
+            genome=self.genome,
+            seq_starts=self.seqdb.starts,
+            seq_lengths=self.seqdb.lengths,
+            seq_names=np.array(self.seqdb.names),
+            seq_md5s=np.array(self.seqdb.md5s),
+            k=np.int32(self.k),
+            keys_sorted=self.keys_sorted,
+            pos_sorted=self.pos_sorted,
+            ctab_k=np.int32(self.ctab_k),
+            ctab=self.ctab,
+            suffix_array=(self.suffix_array
+                          if self.suffix_array is not None
+                          else np.zeros(0, dtype=np.int32)),
+        )
+
+    @staticmethod
+    def load(path: str) -> "GenomeIndex":
+        z = np.load(path, allow_pickle=False)
+        sa = z["suffix_array"]
+        return GenomeIndex(
+            genome=z["genome"],
+            seqdb=SeqDB(
+                names=[str(x) for x in z["seq_names"]],
+                starts=z["seq_starts"],
+                lengths=z["seq_lengths"],
+                md5s=[str(x) for x in z["seq_md5s"]],
+            ),
+            k=int(z["k"]),
+            keys_sorted=z["keys_sorted"],
+            pos_sorted=z["pos_sorted"],
+            ctab_k=int(z["ctab_k"]),
+            ctab=z["ctab"],
+            suffix_array=sa if len(sa) else None,
+        )
+
+
+def concat_contigs(contigs: Sequence[FastaRecord]):
+    parts = []
+    names, starts, lengths, md5s = [], [], [], []
+    off = 0
+    spacer = np.full(SPACER, 4, dtype=np.int8)
+    for i, c in enumerate(contigs):
+        if i > 0:
+            parts.append(spacer)
+            off += SPACER
+        names.append(c.name)
+        starts.append(off)
+        lengths.append(len(c.seq))
+        md5s.append(md5_of_seq(c.seq))
+        parts.append(np.asarray(c.seq, dtype=np.int8))
+        off += len(c.seq)
+    genome = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int8)
+    seqdb = SeqDB(names, np.array(starts, dtype=np.int64),
+                  np.array(lengths, dtype=np.int64), md5s)
+    return genome, seqdb
+
+
+def build_kmer_index(genome: np.ndarray, k: int):
+    """Sorted (key, pos) table over all valid k-windows of the genome."""
+    keys, valid = kmer_keys(genome, k)
+    pos = np.nonzero(valid)[0]
+    kv = keys[pos]
+    order = np.argsort(kv, kind="stable")
+    pos_sorted = pos[order]
+    keys_sorted = kv[order]
+    if k <= 16:
+        keys_sorted = keys_sorted.astype(np.uint32)
+    if len(genome) < 2**31:
+        pos_sorted = pos_sorted.astype(np.int32)
+    return keys_sorted, pos_sorted
+
+
+def build_ctab(genome: np.ndarray, ctab_k: int = 8) -> np.ndarray:
+    """Genome k-mer frequency table (reference TupleCountTable,
+    Blasr.cpp:1136-1147; default k=8) for anchor P-value weighting."""
+    keys, valid = kmer_keys(genome, ctab_k)
+    return np.bincount(keys[valid].astype(np.int64),
+                       minlength=4 ** ctab_k).astype(np.int32)
+
+
+def build_genome_index(
+    contigs: Sequence[FastaRecord],
+    k: int = 12,
+    ctab_k: int = 8,
+    with_suffix_array: bool = False,
+) -> GenomeIndex:
+    genome, seqdb = concat_contigs(contigs)
+    keys_sorted, pos_sorted = build_kmer_index(genome, k)
+    ctab = build_ctab(genome, ctab_k)
+    sa = None
+    if with_suffix_array:
+        from blasr_tpu.index.suffix_array import build_suffix_array
+        sa = build_suffix_array(genome)
+    return GenomeIndex(genome, seqdb, k, keys_sorted, pos_sorted, ctab_k, ctab, sa)

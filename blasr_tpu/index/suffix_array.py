@@ -1,0 +1,112 @@
+"""Suffix-array construction (host-side, index-build time).
+
+Reference parity: sawriter's construction algorithms (Larsson-Sadakane et al,
+utils/SAWriter.cpp:201-235) all produce the same artifact — the
+lexicographic suffix order.  We build that artifact with a NumPy
+prefix-doubling (Manber-Myers) algorithm, O(n log^2 n) fully vectorized,
+optionally accelerated by the C++ SA-IS extension in blasr_tpu/native.
+The hot mapping path does NOT binary-search this SA at runtime; it uses the
+sorted fixed-k k-mer index (see index/genome.py), which is the TPU-friendly
+equivalent of SA prefix-lookup + binary search (Blasr.cpp:1082-1121).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_suffix_array_numpy(codes: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling over int codes (any small alphabet).
+
+    Returns int32/int64 positions sorted by suffix lexicographic order.
+    The (virtual) suffix terminator sorts before all characters, matching
+    conventional suffix-array order.
+    """
+    s = np.asarray(codes)
+    n = len(s)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    dtype = np.int64 if n > 2**31 - 2 else np.int32
+    # initial rank = character code (+1 so that 0 can mean "past the end")
+    rank = (s.astype(np.int64) + 1)
+    idx = np.arange(n, dtype=np.int64)
+    k = 1
+    while True:
+        # key = (rank[i], rank[i+k] or 0)
+        second = np.zeros(n, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        # new ranks: 1 + number of strictly-smaller keys
+        r_sorted = rank[order]
+        s_sorted = second[order]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 1
+        if n > 1:
+            diff = (r_sorted[1:] != r_sorted[:-1]) | (s_sorted[1:] != s_sorted[:-1])
+            changed[1:] = diff
+        new_rank_sorted = np.cumsum(changed)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank_sorted
+        if new_rank_sorted[-1] == n:
+            return order.astype(dtype)
+        k *= 2
+        if k >= n:
+            return order.astype(dtype)
+
+
+def build_suffix_array(codes: np.ndarray) -> np.ndarray:
+    """SA via the native SA-IS extension when available, else NumPy doubling."""
+    try:
+        from blasr_tpu.native import sais_native
+        sa = sais_native(np.asarray(codes, dtype=np.uint8))
+        if sa is not None:
+            return sa
+    except Exception:
+        pass
+    return build_suffix_array_numpy(codes)
+
+
+def build_lookup_table(codes: np.ndarray, sa: np.ndarray, prefix_len: int = 8):
+    """Prefix lookup table bounding the SA range per p-mer
+    (reference BuildLookupTable, Blasr.cpp:1101; default p=8).
+
+    Returns (starts, ends) int arrays of length 4**p + 1 convention:
+    bucket b covers sa[starts[b]:ends[b]].  Suffixes containing a non-ACGT
+    base or shorter than p in their first p characters are excluded.
+    """
+    p = prefix_len
+    n = len(codes)
+    keys, valid = kmer_keys(codes, p)
+    # key per SA entry, invalid -> past-the-end bucket
+    sa_keys = np.where(valid[sa], keys[sa], 4**p)
+    nb = 4**p
+    counts = np.bincount(sa_keys, minlength=nb + 1)[: nb + 1]
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    # note: SA is sorted lexicographically and key order == suffix order for
+    # valid prefixes, but invalid suffixes are interleaved; the table is
+    # therefore built by bucket-count, usable only with the companion
+    # per-bucket position lists.  The hot path uses kmer_index instead.
+    return starts.astype(np.int64), ends.astype(np.int64)
+
+
+def kmer_keys(codes: np.ndarray, k: int):
+    """(keys, valid) for every position: base-4 packed k-mer starting there.
+
+    valid[i] == True iff positions i..i+k-1 exist and contain only ACGT.
+    Invalid or out-of-range positions get key 0.
+    """
+    s = np.asarray(codes).astype(np.int64)
+    n = len(s)
+    keys = np.zeros(n, dtype=np.int64)
+    ok = np.ones(n, dtype=bool)
+    if n < k:
+        return np.zeros(n, dtype=np.uint64), np.zeros(n, dtype=bool)
+    for j in range(k):
+        shifted = np.zeros(n, dtype=np.int64)
+        shifted[: n - j] = s[j:]
+        keys = (keys << 2) | (shifted & 3)
+        ok &= shifted < 4
+    ok[n - k + 1:] = False
+    keys[~ok] = 0
+    return keys.astype(np.uint64), ok

@@ -1,0 +1,246 @@
+"""Output format printers: SAM and m0..m5.
+
+Re-derivations of the reference's printer family (``format/*Printer``:
+StickAlignmentPrinter m0, SummaryPrinter m1, XMLPrinter m2, VulgarPrinter m3,
+IntervalPrinter m4, CompareSequencesPrinter m5, SAMPrinter — usage at
+iblasr/BlasrUtilsImpl.hpp:950-1082).  Conventions preserved:
+
+  * scores are negative-better; m4/m5 report target coordinates on the
+    *reverse-complement strand* when tstrand == 1 (BLASR's historical m4
+    quirk), while SAM always uses forward-reference coordinates with
+    FLAG 16.
+  * CIGAR never contains adjacent I/D ops unless allowAdjacentIndels
+    (merged upstream); '=' / 'X' ops only with cigarUseSeqMatch.
+  * clipping modes: none (aligned portion only, qname gains /start_end),
+    soft, hard, subread (SAMOutput::Clipping, MappingParameters.h:565-580).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, TextIO
+
+import numpy as np
+
+from blasr_tpu.index.genome import GenomeIndex
+from blasr_tpu.io.fasta import decode, revcomp
+from blasr_tpu.pipeline.map_read import Alignment
+
+VERSION = "0.1.0"
+
+
+def _oriented_read(a: Alignment) -> np.ndarray:
+    """Read codes in the orientation that aligns to the forward target."""
+    return a.read if a.strand == 0 else revcomp(a.read)
+
+
+def _strand_local_q(a: Alignment):
+    """(qa, qb) in the oriented-read coordinate system."""
+    if a.strand == 0:
+        return a.qstart, a.qend
+    return a.qlen - a.qend, a.qlen - a.qstart
+
+
+def aligned_strings(a: Alignment, gi: GenomeIndex):
+    """(qString, matchString, tString) reconstructed from the CIGAR."""
+    qa, qb = _strand_local_q(a)
+    q = _oriented_read(a)[qa:qb]
+    gstart = gi.seqdb.chrom_to_genome(a.tindex, a.tstart)
+    gend = gi.seqdb.chrom_to_genome(a.tindex, a.tend)
+    t = gi.genome[gstart:gend]
+    qs, ms, ts = [], [], []
+    qi = ti = 0
+    for op, n in a.cigar or []:
+        if op in "M=X":
+            for _ in range(n):
+                qc, tc = decode(q[qi:qi + 1]), decode(t[ti:ti + 1])
+                qs.append(qc)
+                ts.append(tc)
+                ms.append("|" if qc == tc else " ")
+                qi += 1
+                ti += 1
+        elif op == "I":
+            qs.append(decode(q[qi:qi + n]))
+            ts.append("-" * n)
+            ms.append(" " * n)
+            qi += n
+        elif op == "D":
+            qs.append("-" * n)
+            ts.append(decode(t[ti:ti + n]))
+            ms.append(" " * n)
+            ti += n
+    return "".join(qs), "".join(ms), "".join(ts)
+
+
+def _m4_target_coords(a: Alignment):
+    """m4/m5 report reverse-strand hits in RC target coordinates."""
+    if a.strand == 0:
+        return a.tstart, a.tend
+    return a.tlen - a.tend, a.tlen - a.tstart
+
+
+def _qname(a: Alignment, preserve: bool) -> str:
+    if preserve:
+        return a.qname
+    # blasr subread convention: movie/zmw/qstart_qend; for plain FASTA
+    # it appends /0_len
+    if "/" in a.qname and a.qname.rsplit("/", 1)[-1].count("_") == 1:
+        return a.qname
+    return f"{a.qname}/0_{a.qlen}"
+
+
+# ---------------------------------------------------------------------- m0
+def write_m0(f: TextIO, a: Alignment, gi: GenomeIndex, width: int = 50):
+    qstr, mstr, tstr = aligned_strings(a, gi)
+    ts, te = _m4_target_coords(a)
+    f.write(f"qName: {_qname(a, False)}\n")
+    f.write(f"tName: {a.tname}\n")
+    f.write(f"qStrand: 0\ntStrand: {a.strand}\n")
+    f.write(f"score: {int(a.score)}\n")
+    f.write(f"pctSimilarity: {a.pct_similarity:.2f}\n")
+    f.write(f"qStart: {a.qstart}\nqEnd: {a.qend}\nqLength: {a.qlen}\n")
+    f.write(f"tStart: {ts}\ntEnd: {te}\ntLength: {a.tlen}\n")
+    f.write(f"mapQV: {a.map_qv}\n\n")
+    for i in range(0, len(qstr), width):
+        f.write(f"  q: {qstr[i:i+width]}\n")
+        f.write(f"     {mstr[i:i+width]}\n")
+        f.write(f"  t: {tstr[i:i+width]}\n\n")
+
+
+# ---------------------------------------------------------------------- m1
+def write_m1(f: TextIO, a: Alignment):
+    ts, te = _m4_target_coords(a)
+    f.write(" ".join(map(str, [
+        _qname(a, False), a.tname, 0, a.strand, int(a.score),
+        f"{a.pct_similarity:.4f}", ts, te, a.tlen,
+        a.qstart, a.qend, a.qlen, a.n_cells])) + "\n")
+
+
+# ---------------------------------------------------------------------- m2
+def write_m2(f: TextIO, a: Alignment, gi: GenomeIndex):
+    qstr, _, tstr = aligned_strings(a, gi)
+    ts, te = _m4_target_coords(a)
+    f.write(f'<hit name="{_qname(a, False)}" unalignedLength="{a.qlen}" '
+            f'start="{a.qstart}" end="{a.qend}" strand="0" '
+            f'targetStart="{ts}" targetEnd="{te}" targetStrand="{a.strand}" '
+            f'score="{int(a.score)}">\n')
+    f.write(f"  <zAlignment query=\"{qstr}\" target=\"{tstr}\"/>\n</hit>\n")
+
+
+# ---------------------------------------------------------------------- m3
+def write_m3(f: TextIO, a: Alignment):
+    """Vulgar format: label triplets M/I/D with lengths."""
+    ts, te = _m4_target_coords(a)
+    trip = []
+    for op, n in a.cigar or []:
+        if op in "M=X":
+            trip.append(f"M {n} {n}")
+        elif op == "I":
+            trip.append(f"I {n} 0")
+        elif op == "D":
+            trip.append(f"D 0 {n}")
+    f.write(" ".join(map(str, [
+        _qname(a, False), a.qstart, a.qend, 0, a.tname, ts, te, a.strand,
+        int(a.score)])) + " " + " ".join(trip) + "\n")
+
+
+# ---------------------------------------------------------------------- m4
+def write_m4(f: TextIO, a: Alignment):
+    ts, te = _m4_target_coords(a)
+    f.write(" ".join(map(str, [
+        _qname(a, False), a.tname, int(a.score),
+        f"{a.pct_similarity:.4f}", 0, a.qstart, a.qend, a.qlen,
+        a.strand, ts, te, a.tlen, a.map_qv])) + "\n")
+
+
+M4_HEADER = ("qname tname score pctsimilarity qstrand qstart qend qseqlength "
+             "tstrand tstart tend tseqlength mapqv\n")
+
+
+# ---------------------------------------------------------------------- m5
+def write_m5(f: TextIO, a: Alignment, gi: GenomeIndex):
+    qstr, mstr, tstr = aligned_strings(a, gi)
+    ts, te = _m4_target_coords(a)
+    f.write(" ".join(map(str, [
+        _qname(a, False), a.qlen, a.qstart, a.qend, 0,
+        a.tname, a.tlen, ts, te, a.strand,
+        int(a.score), a.n_match, a.n_mismatch, a.n_ins, a.n_del,
+        a.map_qv, qstr, mstr, tstr])) + "\n")
+
+
+# ---------------------------------------------------------------------- SAM
+def sam_header(gi: GenomeIndex, cmdline: str = "",
+               read_groups: Optional[List[str]] = None) -> str:
+    lines = ["@HD\tVN:1.5\tSO:UNKNOWN\tpb:3.0.1"]
+    for name, length, md5 in zip(gi.seqdb.names, gi.seqdb.lengths,
+                                 gi.seqdb.md5s):
+        lines.append(f"@SQ\tSN:{name}\tLN:{int(length)}\tM5:{md5}")
+    for rg in read_groups or []:
+        lines.append(rg)
+    lines.append(f"@PG\tID:blasr_tpu\tPN:blasr_tpu\tVN:{VERSION}\tCL:{cmdline}")
+    return "\n".join(lines) + "\n"
+
+
+def _cigar_string(cigar: List, use_seq_match: bool) -> str:
+    out: List = []
+    for op, n in cigar:
+        o = op
+        if not use_seq_match and op in "=X":
+            o = "M"
+        if out and out[-1][0] == o:
+            out[-1] = (o, out[-1][1] + n)
+        else:
+            out.append((o, n))
+    return "".join(f"{n}{o}" for o, n in out)
+
+
+def write_sam(f: TextIO, a: Alignment, params=None):
+    clipping = getattr(params, "clipping", "none") if params else "none"
+    use_eq = getattr(params, "cigar_use_seq_match", False) if params else False
+    oread = _oriented_read(a)
+    qa, qb = _strand_local_q(a)
+    flag = 16 if a.strand else 0
+    cigar = list(a.cigar or [])
+    if clipping in ("soft", "subread"):
+        lead, trail = qa, a.qlen - qb
+        if lead:
+            cigar = [("S", lead)] + cigar
+        if trail:
+            cigar = cigar + [("S", trail)]
+        seq = oread
+        qname = _qname(a, True) if "/" in a.qname else _qname(a, False)
+    elif clipping == "hard":
+        lead, trail = qa, a.qlen - qb
+        if lead:
+            cigar = [("H", lead)] + cigar
+        if trail:
+            cigar = cigar + [("H", trail)]
+        seq = oread[qa:qb]
+        qname = _qname(a, False)
+    else:  # none: aligned portion only, coordinates in the qname
+        seq = oread[qa:qb]
+        base = a.qname.split("/")[0] if "/" not in a.qname else a.qname.rsplit("/", 1)[0]
+        qname = f"{base}/{a.qstart}_{a.qend}"
+    qualstr = "*"
+    if a.qual is not None:
+        q = a.qual if a.strand == 0 else a.qual[::-1]
+        if clipping in ("soft", "subread"):
+            qualstr = "".join(chr(min(93, int(x)) + 33) for x in q)
+        else:
+            qualstr = "".join(chr(min(93, int(x)) + 33) for x in q[qa:qb])
+    edit_dist = a.n_mismatch + a.n_ins + a.n_del
+    fields = [
+        qname, str(flag), a.tname, str(a.tstart + 1), str(a.map_qv),
+        _cigar_string(cigar, use_eq), "*", "0", "0",
+        decode(seq), qualstr,
+        f"AS:i:{int(a.score)}", f"NM:i:{edit_dist}",
+    ]
+    f.write("\t".join(fields) + "\n")
+
+
+def write_unaligned(f: TextIO, qname: str, seq: Optional[np.ndarray],
+                    no_seqs: bool = False):
+    """Unaligned-read listing (PrintUnaligned, BlasrUtilsImpl.hpp:1098-1114)."""
+    if no_seqs or seq is None:
+        f.write(f"{qname}\n")
+    else:
+        f.write(f">{qname}\n{decode(seq)}\n")

@@ -1,0 +1,148 @@
+"""Batched anchor search on device.
+
+TPU-native re-derivation of BLASR's ``MapBySuffixArray::MapReadToGenome``
+(usage: iblasr/BlasrAlignImpl.hpp:34-58): for every read position, find
+genome positions whose k-mer matches exactly, extend each hit maximally,
+and emit (q, t, length) anchors subject to ``minMatchLength``,
+``maxAnchorsPerPosition`` and containment pruning
+(``RemoveOverlappingAnchors``, BlasrAlignImpl.hpp:143-148).
+
+Instead of per-suffix binary search over a suffix array (pointer-chasing,
+VPU-hostile), the genome is indexed as a *sorted fixed-k k-mer table*
+(keys_sorted / pos_sorted, built in index/genome.py) and the whole batch of
+read positions is resolved with two vectorized ``searchsorted`` calls; hit
+extension is a data-parallel compare over gathered genome windows.  All
+shapes are static: [B, L] reads -> [B, A] anchors with validity masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.int32(0x3FFFFFFF)
+
+
+class Anchors(NamedTuple):
+    """Fixed-capacity anchor set per read (sorted by t, invalid at end)."""
+
+    q: jnp.ndarray       # int32 [B, A] read position
+    t: jnp.ndarray       # int32 [B, A] genome position
+    l: jnp.ndarray       # int32 [B, A] exact-match length
+    valid: jnp.ndarray   # bool  [B, A]
+    n_total: jnp.ndarray  # int32 [B] anchors found before capacity cap
+
+
+def read_kmer_keys(reads: jnp.ndarray, read_len: jnp.ndarray, k: int):
+    """(keys [B,L] uint32, valid [B,L]) k-mer starting at every position."""
+    B, L = reads.shape
+    r = reads.astype(jnp.int32)
+    keys = jnp.zeros((B, L), dtype=jnp.uint32)
+    ok = jnp.ones((B, L), dtype=bool)
+    for j in range(k):
+        shifted = jnp.concatenate(
+            [r[:, j:], jnp.full((B, j), 4, dtype=jnp.int32)], axis=1)
+        keys = (keys << 2) | (shifted & 3).astype(jnp.uint32)
+        ok &= shifted < 4
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    ok &= pos + k <= read_len[:, None]
+    return keys, ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "occ_per_pos", "max_anchors", "anchor_ext",
+                     "min_match", "max_anchors_per_pos", "max_lcp"),
+)
+def find_anchors(
+    genome: jnp.ndarray,        # int8 [G]
+    keys_sorted: jnp.ndarray,   # uint32 [M]
+    pos_sorted: jnp.ndarray,    # int32 [M]
+    reads: jnp.ndarray,         # int8 [B, L]
+    read_len: jnp.ndarray,      # int32 [B]
+    *,
+    k: int,
+    occ_per_pos: int,
+    max_anchors: int,
+    anchor_ext: int,
+    min_match: int,
+    max_anchors_per_pos: int,
+    max_lcp: int = 0,
+) -> Anchors:
+    B, L = reads.shape
+    G = genome.shape[0]
+    O = occ_per_pos
+
+    keys, kvalid = read_kmer_keys(reads, read_len, k)
+    flatk = keys.reshape(-1)
+    lo = jnp.searchsorted(keys_sorted, flatk, side="left").reshape(B, L)
+    hi = jnp.searchsorted(keys_sorted, flatk, side="right").reshape(B, L)
+    nocc = (hi - lo).astype(jnp.int32)
+    # maxAnchorsPerPosition: skip over-abundant seeds entirely
+    # (AnchorParameters, RegisterBlasrOptions.h:104-106)
+    pos_ok = kvalid & (nocc > 0) & (nocc <= max_anchors_per_pos)
+
+    # expand each position into up to O occurrences
+    occ = jnp.arange(O, dtype=jnp.int32)
+    idx = lo[:, :, None] + occ[None, None, :]              # [B, L, O]
+    cand_valid = pos_ok[:, :, None] & (occ[None, None, :] < nocc[:, :, None])
+    idx = jnp.clip(idx, 0, pos_sorted.shape[0] - 1)
+    t = jnp.take(pos_sorted, idx).astype(jnp.int32)        # [B, L, O]
+    q = jax.lax.broadcasted_iota(jnp.int32, (B, L, O), 1)
+
+    # containment prune: if the previous diagonal position also matches,
+    # this anchor is inside a longer one (RemoveOverlappingAnchors)
+    gprev = jnp.take(genome, jnp.clip(t - 1, 0, G - 1)).astype(jnp.int32)
+    rprev_2d = jnp.concatenate(
+        [jnp.full((B, 1), 4, dtype=jnp.int32), reads[:, :-1].astype(jnp.int32)],
+        axis=1)
+    rprev = rprev_2d[:, :, None]  # [B, L, 1]: read[q-1] since q == position iota
+    contained = (q > 0) & (t > 0) & (gprev == rprev) & (rprev < 4)
+    cand_valid &= ~contained
+
+    # forward extension: compare genome[t+k+e] with read[q+k+e]
+    E = anchor_ext
+    e = jnp.arange(E, dtype=jnp.int32)
+    gidx = t[..., None] + k + e                              # [B, L, O, E]
+    gext = jnp.take(genome, jnp.clip(gidx, 0, G - 1)).astype(jnp.int32)
+    gext = jnp.where(gidx < G, gext, 4)
+    # read extension window: rext[b, i, e] = reads[b, i + k + e]
+    pad = jnp.full((B, k + E), 4, dtype=jnp.int8)
+    rpad = jnp.concatenate([reads, pad], axis=1)
+    ridx = jnp.arange(L)[:, None] + k + e[None, :]           # [L, E]
+    rext = rpad[:, ridx].astype(jnp.int32)                   # [B, L, E]
+    m = (gext == rext[:, :, None, :]) & (rext[:, :, None, :] < 4)
+    run = jnp.cumprod(m.astype(jnp.int32), axis=-1)
+    length = k + jnp.sum(run, axis=-1).astype(jnp.int32)     # [B, L, O]
+    if max_lcp > 0:
+        length = jnp.minimum(length, max_lcp)
+    cand_valid &= length >= min_match
+
+    # top-A selection: valid first, longer first, then by (q, occ) for
+    # a deterministic order
+    flat_valid = cand_valid.reshape(B, L * O)
+    flat_len = length.reshape(B, L * O)
+    flat_q = q.reshape(B, L * O)
+    flat_t = t.reshape(B, L * O)
+    rank = jnp.where(flat_valid, -flat_len, BIG)
+    order = jnp.argsort(rank, axis=1, stable=True)[:, :max_anchors]
+    sel_q = jnp.take_along_axis(flat_q, order, axis=1)
+    sel_t = jnp.take_along_axis(flat_t, order, axis=1)
+    sel_l = jnp.take_along_axis(flat_len, order, axis=1)
+    sel_v = jnp.take_along_axis(flat_valid, order, axis=1)
+    n_total = jnp.sum(flat_valid, axis=1).astype(jnp.int32)
+
+    # final order: by genome position (SortMatchPosList,
+    # BlasrAlignImpl.hpp:92-95), invalid pushed to the end
+    tkey = jnp.where(sel_v, sel_t, BIG)
+    order2 = jnp.argsort(tkey, axis=1, stable=True)
+    return Anchors(
+        q=jnp.take_along_axis(sel_q, order2, axis=1),
+        t=jnp.take_along_axis(sel_t, order2, axis=1),
+        l=jnp.take_along_axis(sel_l, order2, axis=1),
+        valid=jnp.take_along_axis(sel_v, order2, axis=1),
+        n_total=n_total,
+    )

@@ -1,0 +1,296 @@
+"""Guided banded affine alignment — the framework's hottest kernel.
+
+One wavefront-banded affine DP serves the roles of the reference's
+``KBandAlign`` / ``AffineKBandAlign`` / ``GuidedAlign`` / ``AffineGuidedAlign``
+(usage: iblasr/BlasrAlignImpl.hpp:1227-1309, BlasrUtilsImpl.hpp:620-903):
+the band follows a *guide path* (the anchor chain, standing in for the
+reference's SDP fragment path), scores minimize (match -5 / mismatch 6 /
+asymmetric indels, iblasr/RegisterBlasrOptions.h:350-360 semantics), and a
+2-bit-per-state traceback is stored per banded cell.
+
+TPU mapping:
+  * rows = query positions, processed by one ``lax.scan``; each step is a
+    fixed 128-lane band vector -> pure VPU work, vmapped over a flattened
+    [reads x candidates] batch so every step is [N, 128].
+  * the in-row deletion recurrence D[w] = min(D[w-1]+ext, base[w-1]+open)
+    is solved in closed form with a prefix cummin
+    (D = ext*w + cummin(base - ext*w') + open), avoiding the sequential
+    lane walk that would stall the VPU.
+  * band offsets shift per row along the guide path; shifts are realized
+    with dynamic slices of 1-padded carries, so arbitrary per-row target
+    jumps (deletion bursts between anchors) stay within the recurrence.
+  * traceback is a second ``lax.scan`` over stored per-cell bits; its
+    output op-string feeds CIGAR/stat building.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# All costs are integer-valued; f32 arithmetic on integers < 2^24 is exact,
+# so comparisons (tie detection for traceback bits) are bit-stable while
+# keeping the fast f32 VPU path.
+INF = jnp.float32(1e30)
+
+# traceback bit layout (uint8 per banded cell)
+#   bits 0-1: source state of M's diagonal predecessor (0=M, 1=I, 2=D)
+#   bit 2   : I opened from M (else extended from I)
+#   bit 3   : D opened at this cell (else extended from D[w-1])
+#   bit 4   : D opened from M (else from I)
+#   bit 5   : read base == target base at this cell
+ST_M, ST_I, ST_D = 0, 1, 2
+
+
+class BandedResult(NamedTuple):
+    score: jnp.ndarray        # float32 [N] (integer-valued)
+    tbbits: jnp.ndarray       # uint8 [N, L, W_b]
+    final_state: jnp.ndarray  # int32 [N]
+    valid: jnp.ndarray        # bool [N] alignment reached the end cell
+
+
+class TracebackResult(NamedTuple):
+    # ops emitted end-first: 0 stop, 1 match, 2 insertion (read base),
+    # 3 deletion (target base), 4 mismatch
+    ops: jnp.ndarray          # uint8 [N, T]
+    n_ops: jnp.ndarray        # int32 [N]
+    n_match: jnp.ndarray      # int32 [N]
+    n_mismatch: jnp.ndarray   # int32 [N]
+    n_ins: jnp.ndarray        # int32 [N]
+    n_del: jnp.ndarray        # int32 [N]
+
+
+def _shift(padded_row: jnp.ndarray, k: jnp.ndarray, w_b: int) -> jnp.ndarray:
+    """out[w] = row[w + k] where padded_row = [fill, row, fill*w_b], k >= -1."""
+    return jax.lax.dynamic_slice(padded_row, (k + 1,), (w_b,))
+
+
+def _pad_row(row: jnp.ndarray, fill) -> jnp.ndarray:
+    w_b = row.shape[0]
+    return jnp.concatenate(
+        [jnp.full((1,), fill, row.dtype), row, jnp.full((w_b,), fill, row.dtype)])
+
+
+def _align_one(
+    read, window, offsets, qa, qb, ta, tb,
+    submat, ins_open, ins_ext, del_open, del_ext, w_b,
+):
+    """Forward DP for one read x one target window.
+
+    read:    int8 [L]     query codes
+    window:  int8 [W]     target window codes (already sliced from genome)
+    offsets: int32 [L]    band start (window coord) per query row, monotone
+    qa, qb:  int32        aligned query range [qa, qb)
+    ta, tb:  int32        aligned window range [ta, tb)  (window coords)
+    """
+    L = read.shape[0]
+    W = window.shape[0]
+    wpad = jnp.concatenate([window, jnp.full((w_b,), 4, dtype=window.dtype)])
+
+    # cell (r, w) == "consumed read[qa..r] and window[ta..o_r+w]"; the
+    # boundary (virtual row qa-1) therefore has its zero-cost M cell at
+    # t_abs == ta-1 and leading-deletion D costs open+ext*(t-ta) at t >= ta.
+    # Callers must guarantee ta >= 1 so the boundary cell is addressable.
+    def boundary(o_r):
+        t_abs = o_r + jnp.arange(w_b, dtype=jnp.int32)
+        d = (t_abs - ta).astype(jnp.float32)
+        prof = jnp.where(t_abs >= ta, del_open + del_ext * d, INF)
+        m0 = jnp.where(t_abs == ta - 1, 0.0, INF)
+        return m0, jnp.full((w_b,), INF), prof
+
+    def step(carry, r):
+        pM, pI, pD, po, fin_score, fin_state, fin_ok = carry
+        o_r = offsets[r]
+        active = (r >= qa) & (r < qb)
+        first = r == qa
+
+        bM, bI, bD = boundary(o_r)
+        pM_, pI_, pD_ = (
+            jnp.where(first, bM, pM),
+            jnp.where(first, bI, pI),
+            jnp.where(first, bD, pD),
+        )
+        s = jnp.where(first, 0, o_r - po)
+
+        pMp, pIp, pDp = _pad_row(pM_, INF), _pad_row(pI_, INF), _pad_row(pD_, INF)
+        dM, dI, dD = (_shift(pMp, s - 1, w_b), _shift(pIp, s - 1, w_b),
+                      _shift(pDp, s - 1, w_b))
+        vM, vI = _shift(pMp, s, w_b), _shift(pIp, s, w_b)
+
+        t_abs = o_r + jnp.arange(w_b, dtype=jnp.int32)
+        in_t = (t_abs >= ta) & (t_abs < tb)
+        # I consumes no target base, so it is also valid at column ta-1
+        # (insertions before the first target base)
+        in_t_i = (t_abs >= ta - 1) & (t_abs < tb)
+        tgt = jax.lax.dynamic_slice(wpad, (jnp.maximum(o_r, 0),), (w_b,))
+        rb = read[r].astype(jnp.int32)
+        sub = submat[rb * 5 + tgt.astype(jnp.int32)]
+        eq = (rb == tgt.astype(jnp.int32)) & (rb < 4)
+
+        diag_best = jnp.minimum(dM, jnp.minimum(dI, dD))
+        m_src = jnp.where(dM <= diag_best, ST_M,
+                          jnp.where(dI <= diag_best, ST_I, ST_D)).astype(jnp.uint8)
+        M = jnp.where(in_t, sub + diag_best, INF)
+
+        i_from_m = vM + ins_open
+        i_from_i = vI + ins_ext
+        I = jnp.where(in_t_i, jnp.minimum(i_from_m, i_from_i), INF)
+        i_open = i_from_m <= i_from_i
+
+        base = jnp.minimum(M, I)
+        w_idx = jnp.arange(w_b, dtype=jnp.float32)
+        g = jnp.where(base < INF * 0.5, base - del_ext * w_idx, INF)
+        run = jax.lax.cummin(g)
+        run_prev = jnp.concatenate([jnp.full((1,), INF), run[:-1]])
+        # D[w] = open + ext*(w - w' - 1) + base[w'] over w' < w
+        D = jnp.where(
+            in_t, del_ext * w_idx + run_prev + (del_open - del_ext), INF)
+        D = jnp.minimum(D, INF)
+        base_prev = jnp.concatenate([jnp.full((1,), INF), base[:-1]])
+        # D <= base_prev+open always holds (D is the min), so the open/extend
+        # bit must test >=: true iff opening at w-1 achieves the min
+        d_open = D >= base_prev + del_open
+        M_prev = jnp.concatenate([jnp.full((1,), INF), M[:-1]])
+        I_prev = jnp.concatenate([jnp.full((1,), INF), I[:-1]])
+        d_from_m = M_prev <= I_prev
+
+        bits = (
+            m_src
+            | (i_open.astype(jnp.uint8) << 2)
+            | (d_open.astype(jnp.uint8) << 3)
+            | (d_from_m.astype(jnp.uint8) << 4)
+            | (eq.astype(jnp.uint8) << 5)
+        )
+        bits = jnp.where(active, bits, jnp.uint8(0))
+
+        nM = jnp.where(active, M, pM)
+        nI = jnp.where(active, I, pI)
+        nD = jnp.where(active, D, pD)
+        no = jnp.where(active, o_r, po)
+
+        # record final score at row qb-1, cell t = tb-1
+        is_last = r == qb - 1
+        wf = tb - 1 - o_r
+        ok_wf = (wf >= 0) & (wf < w_b)
+        wf_c = jnp.clip(wf, 0, w_b - 1)
+        cM, cI, cD = M[wf_c], I[wf_c], D[wf_c]
+        cbest = jnp.minimum(cM, jnp.minimum(cI, cD))
+        cstate = jnp.where(cM <= cbest, ST_M,
+                           jnp.where(cI <= cbest, ST_I, ST_D))
+        hit = is_last & active & ok_wf & (cbest < INF * 0.5)
+        fin_score = jnp.where(hit, cbest, fin_score)
+        fin_state = jnp.where(hit, cstate, fin_state)
+        fin_ok = fin_ok | hit
+
+        return (nM, nI, nD, no, fin_score, fin_state, fin_ok), bits
+
+    carry0 = (
+        jnp.full((w_b,), INF), jnp.full((w_b,), INF), jnp.full((w_b,), INF),
+        jnp.int32(0), INF, jnp.int32(ST_M), jnp.bool_(False),
+    )
+    (_, _, _, _, score, state, ok), tbbits = jax.lax.scan(
+        step, carry0, jnp.arange(L, dtype=jnp.int32))
+    return score, tbbits, state, ok
+
+
+@functools.partial(jax.jit, static_argnames=("w_b",))
+def banded_align(
+    reads, windows, offsets, qa, qb, ta, tb, submat,
+    ins_open, ins_ext, del_open, del_ext, *, w_b: int = 128,
+) -> BandedResult:
+    """Batched guided banded alignment.
+
+    reads   int8  [N, L]
+    windows int8  [N, W]
+    offsets int32 [N, L]   band start per row (window coordinates)
+    qa..tb  int32 [N]      global alignment ranges (window coords for t)
+    submat  float32 [25]   flattened 5x5 score matrix (integer-valued)
+    """
+    # integer-valued costs in f32 (exact below 2^24)
+    submat = jnp.asarray(submat, jnp.float32)
+    ins_open = jnp.asarray(ins_open, jnp.float32)
+    ins_ext = jnp.asarray(ins_ext, jnp.float32)
+    del_open = jnp.asarray(del_open, jnp.float32)
+    del_ext = jnp.asarray(del_ext, jnp.float32)
+    f = jax.vmap(
+        _align_one,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None, None, None),
+    )
+    score, tbbits, state, ok = f(
+        reads, windows, offsets, qa, qb, ta, tb,
+        submat, ins_open, ins_ext, del_open, del_ext, w_b)
+    return BandedResult(score, tbbits, state.astype(jnp.int32), ok)
+
+
+def _traceback_one(tbbits, offsets, qa, qb, ta, tb, state0, ok, t_max, w_b):
+    L = tbbits.shape[0]
+    flat = tbbits.reshape(-1)
+
+    def step(carry, _):
+        r, t, st, done = carry
+        at_boundary = r < qa
+        w = t - offsets[jnp.clip(r, 0, L - 1)]
+        w_ok = (w >= 0) & (w < w_b)
+        cell = flat[jnp.clip(r, 0, L - 1) * w_b + jnp.clip(w, 0, w_b - 1)]
+        m_src = (cell & 3).astype(jnp.int32)
+        i_open = (cell >> 2) & 1
+        d_open = (cell >> 3) & 1
+        d_from_m = (cell >> 4) & 1
+        eq = (cell >> 5) & 1
+
+        # boundary: consume remaining leading target bases as deletions
+        # (done once t reaches ta-1, the boundary zero cell)
+        b_more = at_boundary & (t >= ta)
+        b_done = at_boundary & (t < ta)
+
+        is_m = (~at_boundary) & (st == ST_M)
+        is_i = (~at_boundary) & (st == ST_I)
+        is_d = (~at_boundary) & (st == ST_D)
+
+        op = jnp.where(
+            done | b_done, 0,
+            jnp.where(b_more, 3,
+            jnp.where(is_m, jnp.where(eq == 1, 1, 4),
+            jnp.where(is_i, 2, 3)))).astype(jnp.uint8)
+
+        nr = jnp.where(done | b_done, r,
+             jnp.where(b_more, r,
+             jnp.where(is_m | is_i, r - 1, r)))
+        nt = jnp.where(done | b_done, t,
+             jnp.where(b_more, t - 1,
+             jnp.where(is_m | is_d, t - 1, t)))
+        nst = jnp.where(is_m, m_src,
+              jnp.where(is_i, jnp.where(i_open == 1, ST_M, ST_I),
+              jnp.where(is_d,
+                        jnp.where(d_open == 1,
+                                  jnp.where(d_from_m == 1, ST_M, ST_I),
+                                  ST_D),
+                        st)))
+        ndone = done | b_done | ((~at_boundary) & ~w_ok)
+        return (nr, nt, nst, ndone), op
+
+    carry0 = (qb - 1, tb - 1, state0, ~ok)
+    _, ops = jax.lax.scan(step, carry0, None, length=t_max)
+    return ops
+
+
+@functools.partial(jax.jit, static_argnames=("t_max", "w_b"))
+def banded_traceback(
+    result: BandedResult, offsets, qa, qb, ta, tb, *, t_max: int, w_b: int = 128,
+) -> TracebackResult:
+    f = jax.vmap(_traceback_one,
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None))
+    ops = f(result.tbbits, offsets, qa, qb, ta, tb,
+            result.final_state, result.valid, t_max, w_b)
+    n_ops = jnp.sum(ops > 0, axis=1).astype(jnp.int32)
+    return TracebackResult(
+        ops=ops,
+        n_ops=n_ops,
+        n_match=jnp.sum(ops == 1, axis=1).astype(jnp.int32),
+        n_mismatch=jnp.sum(ops == 4, axis=1).astype(jnp.int32),
+        n_ins=jnp.sum(ops == 2, axis=1).astype(jnp.int32),
+        n_del=jnp.sum(ops == 3, axis=1).astype(jnp.int32),
+    )

@@ -1,0 +1,182 @@
+"""Anchor chaining / candidate-interval selection on device.
+
+TPU-native re-derivation of BLASR's ``FindMaxIncreasingInterval``
+(usage: iblasr/BlasrAlignImpl.hpp:170-243): slide a genome window of length
+``readLen*(1+indelRate)`` over the t-sorted anchors, compute the best
+increasing chain (LIS) inside each window weighted by total anchor bases
+(LISSizeWeightor; P-value weightors layered in pipeline/), and emit the top
+``nCandidates`` non-overlapping ``WeightedInterval``s plus per-cluster
+anchor statistics (ClusterList) for the mapQV significance gate.
+
+Formulated as a single O(A^2) chain DP (a scan of A steps, each an
+[B, A]-wide vector max on the VPU) instead of per-window LIS re-runs: the
+window constraint becomes a transition constraint ``t_i - t_j <= wlen``,
+which dominates the per-window formulation on TPU because every step is a
+dense masked max.  Chain start coordinates are carried through the DP, so
+no per-chain traceback is needed to produce intervals; parent pointers are
+still emitted for the guided-alignment path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from blasr_tpu.kernels.anchor import Anchors
+
+NEG = jnp.float32(-1e30)
+BIG = jnp.int32(0x3FFFFFFF)
+
+
+class Candidates(NamedTuple):
+    """Top-nCand candidate intervals per read (WeightedInterval analog)."""
+
+    q_start: jnp.ndarray   # int32 [B, C]
+    q_end: jnp.ndarray     # int32 [B, C] (exclusive)
+    t_start: jnp.ndarray   # int32 [B, C]
+    t_end: jnp.ndarray     # int32 [B, C] (exclusive)
+    score: jnp.ndarray     # float32 [B, C] chain weight (anchor bases)
+    n_anchors: jnp.ndarray  # int32 [B, C] chain length (ClusterList stat)
+    valid: jnp.ndarray     # bool [B, C]
+    end_idx: jnp.ndarray   # int32 [B, C] index of chain-end anchor in Anchors
+    parent: jnp.ndarray    # int32 [B, A] chain parent pointer (-1 = start)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cand",))
+def chain_anchors(
+    anchors: Anchors,
+    read_len: jnp.ndarray,       # int32 [B]
+    *,
+    n_cand: int,
+    indel_rate: float = 0.3,
+    drift_frac: float = 0.35,
+    drift_slack: int = 50,
+) -> Candidates:
+    q, t, l, valid = anchors.q, anchors.t, anchors.l, anchors.valid
+    B, A = q.shape
+    wlen = (read_len.astype(jnp.float32) * (1.0 + indel_rate)).astype(jnp.int32)
+
+    qf = q.astype(jnp.int32)
+    tf = t.astype(jnp.int32)
+    lf = l.astype(jnp.float32)
+
+    def step(carry, i):
+        best, sq, st, cnt, parent = carry
+        # transitions j -> i for all j (anchors are t-sorted, so j<i in t
+        # order; enforce t_j < t_i explicitly to be safe with ties)
+        qi = qf[:, i]          # [B]
+        ti = tf[:, i]
+        dq = qi[:, None] - qf
+        dt = ti[:, None] - tf
+        drift = jnp.abs(dt - dq).astype(jnp.float32)
+        span = jnp.maximum(dq, dt).astype(jnp.float32)
+        ok = (
+            valid
+            & valid[:, i][:, None]
+            & (dq > 0)
+            & (dt > 0)
+            & (dt <= wlen[:, None])
+            & (drift <= drift_frac * span + drift_slack)
+        )
+        # overlap-clipped gain to avoid double counting overlapping anchors
+        li = l[:, i][:, None].astype(jnp.float32)
+        gain = jnp.minimum(li, jnp.minimum(dq, dt).astype(jnp.float32))
+        cand = jnp.where(ok, best + gain, NEG)
+        j_best = jnp.argmax(cand, axis=1)                     # [B]
+        v_best = jnp.take_along_axis(cand, j_best[:, None], 1)[:, 0]
+        li0 = l[:, i].astype(jnp.float32)
+        start_new = v_best < li0                              # start fresh chain
+        best_i = jnp.where(start_new, li0, v_best)
+        sq_i = jnp.where(start_new, qi,
+                         jnp.take_along_axis(sq, j_best[:, None], 1)[:, 0])
+        st_i = jnp.where(start_new, ti,
+                         jnp.take_along_axis(st, j_best[:, None], 1)[:, 0])
+        par_i = jnp.where(start_new, -1, j_best.astype(jnp.int32))
+        cnt_i = jnp.where(
+            start_new, 1,
+            jnp.take_along_axis(cnt, j_best[:, None], 1)[:, 0] + 1)
+        best = best.at[:, i].set(jnp.where(valid[:, i], best_i, NEG))
+        sq = sq.at[:, i].set(sq_i)
+        st = st.at[:, i].set(st_i)
+        cnt = cnt.at[:, i].set(jnp.where(valid[:, i], cnt_i, 0))
+        parent = parent.at[:, i].set(jnp.where(valid[:, i], par_i, -1))
+        return (best, sq, st, cnt, parent), None
+
+    best0 = jnp.full((B, A), NEG, dtype=jnp.float32)
+    sq0 = jnp.zeros((B, A), dtype=jnp.int32)
+    st0 = jnp.zeros((B, A), dtype=jnp.int32)
+    cnt0 = jnp.zeros((B, A), dtype=jnp.int32)
+    par0 = jnp.full((B, A), -1, dtype=jnp.int32)
+    (best, sq, st, cnt, parent), _ = jax.lax.scan(
+        step, (best0, sq0, st0, cnt0, par0), jnp.arange(A))
+
+    # select top n_cand chain ends, suppressing ends whose interval overlaps
+    # an already-selected one on the genome (nCandidates distinct windows)
+    q_end_all = qf + anchors.l
+    t_end_all = tf + anchors.l
+
+    def select(carry, _):
+        remaining, = carry
+        masked = jnp.where(remaining, best, NEG)
+        i_best = jnp.argmax(masked, axis=1)                   # [B]
+        v = jnp.take_along_axis(masked, i_best[:, None], 1)[:, 0]
+        ok = v > NEG * 0.5
+        ts_i = jnp.take_along_axis(st, i_best[:, None], 1)[:, 0]
+        te_i = jnp.take_along_axis(t_end_all, i_best[:, None], 1)[:, 0]
+        qs_i = jnp.take_along_axis(sq, i_best[:, None], 1)[:, 0]
+        qe_i = jnp.take_along_axis(q_end_all, i_best[:, None], 1)[:, 0]
+        # suppress all chain ends whose own interval [st, t_end] overlaps
+        # the selected interval by more than half a read length
+        margin = (wlen // 2)[:, None]
+        overlap = (st <= te_i[:, None] + margin) & (
+            t_end_all >= ts_i[:, None] - margin)
+        remaining = remaining & ~overlap
+        out = (qs_i, qe_i, ts_i, te_i, v, ok & anchors.valid[jnp.arange(B), i_best],
+               i_best.astype(jnp.int32))
+        return (remaining,), out
+
+    remaining0 = anchors.valid
+    (_,), outs = jax.lax.scan(select, (remaining0,), None, length=n_cand)
+    qs, qe, ts, te, sc, okv, endi = [jnp.moveaxis(o, 0, 1) for o in outs]
+
+    n_anch = jnp.take_along_axis(cnt, endi, axis=1)
+
+    return Candidates(
+        q_start=qs, q_end=qe, t_start=ts, t_end=te,
+        score=jnp.where(okv, sc, 0.0),
+        n_anchors=jnp.where(okv, n_anch, 0),
+        valid=okv, end_idx=endi, parent=parent,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_chain",))
+def chain_members(candidates: Candidates, anchors: Anchors, *, max_chain: int):
+    """Gather (q, t) member anchors of each selected chain, q-ascending,
+    padded to max_chain.  Feeds the guided-band center path."""
+    B, C = candidates.end_idx.shape
+    A = anchors.q.shape[1]
+
+    def walk(end_i, parent_b, q_b, t_b, l_b):
+        def body(carry, _):
+            i = carry
+            ok = i >= 0
+            safe = jnp.maximum(i, 0)
+            out = (jnp.where(ok, q_b[safe], BIG),
+                   jnp.where(ok, t_b[safe], BIG),
+                   jnp.where(ok, l_b[safe], 0))
+            nxt = jnp.where(ok, parent_b[safe], -1)
+            return nxt, out
+        _, (qs, ts, ls) = jax.lax.scan(body, end_i, None, length=max_chain)
+        # emitted end-first (q descending); reverse to ascending, pad at end
+        order = jnp.argsort(qs, stable=True)
+        return qs[order], ts[order], ls[order]
+
+    walk_c = jax.vmap(walk, in_axes=(0, None, None, None, None))   # over C
+    walk_bc = jax.vmap(walk_c, in_axes=(0, 0, 0, 0, 0))            # over B
+    mq, mt, ml = walk_bc(candidates.end_idx, candidates.parent,
+                         anchors.q, anchors.t, anchors.l)
+    mvalid = mq < BIG
+    return mq, mt, ml, mvalid

@@ -1,0 +1,422 @@
+"""End-to-end batched mapping pipeline (the reference's ``MapRead``,
+iblasr/BlasrAlignImpl.hpp:4-505, re-shaped for TPU).
+
+One jitted function takes a fixed-shape batch of reads plus the device
+genome index and runs: anchor search -> chain/cluster -> candidate windows
+-> guided banded affine DP -> traceback + stats, for both strands.  The
+host wrapper (:class:`Mapper`) handles length bucketing, strand/coordinate
+bookkeeping, CIGAR building, filtering, mapQV and hit policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blasr_tpu.index.genome import GenomeIndex
+from blasr_tpu.io.fasta import FastaRecord
+from blasr_tpu.kernels.anchor import find_anchors
+from blasr_tpu.kernels.banded import banded_align, banded_traceback
+from blasr_tpu.kernels.chain import chain_anchors, chain_members
+from blasr_tpu.params import MappingParams, ShapeConfig
+
+BIG32 = 0x3FFFFFFF
+
+
+class DeviceIndex(NamedTuple):
+    """Genome index resident on device (replicated or per-shard slice)."""
+
+    genome: jnp.ndarray         # int8 [G]
+    keys_sorted: jnp.ndarray    # uint32 [M]
+    pos_sorted: jnp.ndarray     # int32 [M]
+    contig_starts: jnp.ndarray  # int32 [n_contigs]
+    contig_ends: jnp.ndarray    # int32 [n_contigs]
+    k: int
+
+    @staticmethod
+    def from_host(gi: GenomeIndex) -> "DeviceIndex":
+        return DeviceIndex(
+            genome=jnp.asarray(gi.genome),
+            keys_sorted=jnp.asarray(gi.keys_sorted),
+            pos_sorted=jnp.asarray(gi.pos_sorted),
+            contig_starts=jnp.asarray(gi.seqdb.starts, dtype=jnp.int32),
+            contig_ends=jnp.asarray(
+                gi.seqdb.starts + gi.seqdb.lengths, dtype=jnp.int32),
+            k=gi.k,
+        )
+
+
+class BatchResult(NamedTuple):
+    """Per (strand-row, candidate) alignment results; strand rows are
+    [fwd x B, rc x B]."""
+
+    score: jnp.ndarray      # float32 [2B, C]
+    valid: jnp.ndarray      # bool [2B, C]
+    q_start: jnp.ndarray    # int32 [2B, C] strand-local read coords
+    q_end: jnp.ndarray      # int32 [2B, C]
+    t_start: jnp.ndarray    # int32 [2B, C] forward-genome coords
+    t_end: jnp.ndarray      # int32 [2B, C]
+    n_match: jnp.ndarray    # int32 [2B, C]
+    n_mismatch: jnp.ndarray
+    n_ins: jnp.ndarray
+    n_del: jnp.ndarray
+    ops: jnp.ndarray        # uint8 [2B, C, T] end-first op string
+    chain_score: jnp.ndarray   # float32 [2B, C] anchor-chain weight
+    chain_anchors: jnp.ndarray  # int32 [2B, C]
+    n_anchors: jnp.ndarray     # int32 [2B] anchors found on this strand
+
+
+def _revcomp_batch(reads: jnp.ndarray, read_len: jnp.ndarray) -> jnp.ndarray:
+    """Per-row reverse complement of the first read_len codes, re-padded."""
+    B, L = reads.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    src = read_len[:, None] - 1 - pos
+    ok = src >= 0
+    comp = jnp.array([3, 2, 1, 0, 4], dtype=jnp.int8)
+    gathered = jnp.take_along_axis(reads, jnp.clip(src, 0, L - 1), axis=1)
+    return jnp.where(ok, comp[gathered], jnp.int8(4))
+
+
+def _band_offsets(mq, mt, ml, qa, qb, ws, L, W, w_b):
+    """Band start per query row from the chain guide path (window coords).
+
+    Piecewise-linear interpolation through chain anchors — the TPU stand-in
+    for the reference's SDP guide path (GuidedAlign block following,
+    BlasrUtilsImpl.hpp:705-732).
+    """
+    r = jnp.arange(L, dtype=jnp.int32)
+    mc = mq.shape[0]
+    nv = jnp.sum(mq < BIG32).astype(jnp.int32)
+    nv1 = jnp.maximum(nv, 1)
+    last = nv1 - 1
+    # bracket: j = rightmost anchor with mq[j] <= r
+    j = jnp.searchsorted(mq, r, side="right") - 1
+    j = jnp.clip(j, 0, last)
+    j1 = jnp.minimum(j + 1, last)
+    q0, t0, l0 = mq[j], mt[j], ml[j]
+    q1, t1 = mq[j1], mt[j1]
+    # inside anchor j: diagonal; between anchors: linear; outside: slope 1
+    before = r < mq[0]
+    after = r >= mq[last]
+    inside = (r >= q0) & (r < q0 + l0)
+    dq = jnp.maximum(q1 - q0, 1)
+    lin = t0 + ((r - q0) * (t1 - t0)) // dq
+    center = jnp.where(
+        before, mt[0] - (mq[0] - r),
+        jnp.where(after, mt[last] + (r - mq[last]),
+                  jnp.where(inside, t0 + (r - q0), lin)))
+    center = center - ws  # window coordinates
+    off = jnp.clip(center - w_b // 2, 0, W - w_b)
+    # monotone nondecreasing, slope-limited so successive bands overlap
+    off = jax.lax.cummax(off)
+    smax = w_b - 2
+
+    def clip_step(prev, o):
+        o2 = jnp.minimum(jnp.maximum(o, prev), prev + smax)
+        return o2, o2
+    _, off = jax.lax.scan(clip_step, off[0], off)
+    return off
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg_k", "L", "W", "w_b", "C", "A", "O", "E", "T",
+                     "max_chain", "min_match", "max_anchors_per_pos",
+                     "max_lcp", "indel_rate"),
+)
+def map_batch(
+    index: DeviceIndex,
+    reads: jnp.ndarray,        # int8 [B, L]
+    read_len: jnp.ndarray,     # int32 [B]
+    submat: jnp.ndarray,       # float32 [25]
+    gap_costs: jnp.ndarray,    # float32 [4] ins_open, ins_ext, del_open, del_ext
+    *,
+    cfg_k: int, L: int, W: int, w_b: int, C: int, A: int, O: int, E: int,
+    T: int, max_chain: int, min_match: int, max_anchors_per_pos: int,
+    max_lcp: int, indel_rate: float,
+) -> BatchResult:
+    B = reads.shape[0]
+    G = index.genome.shape[0]
+
+    rc = _revcomp_batch(reads, read_len)
+    reads2 = jnp.concatenate([reads, rc], axis=0)          # [2B, L]
+    rlen2 = jnp.concatenate([read_len, read_len], axis=0)
+
+    anchors = find_anchors(
+        index.genome, index.keys_sorted, index.pos_sorted, reads2, rlen2,
+        k=cfg_k, occ_per_pos=O, max_anchors=A, anchor_ext=E,
+        min_match=min_match, max_anchors_per_pos=max_anchors_per_pos,
+        max_lcp=max_lcp)
+
+    cands = chain_anchors(anchors, rlen2, n_cand=C, indel_rate=indel_rate)
+    mq, mt, ml, mvalid = chain_members(cands, anchors, max_chain=max_chain)
+
+    # per-candidate genome windows, clamped to contig bounds
+    # (BlasrAlignImpl.hpp:660-698)
+    n2 = 2 * B
+    ts = cands.t_start.reshape(-1)
+    te = cands.t_end.reshape(-1)
+    ci = jnp.searchsorted(index.contig_starts, ts, side="right") - 1
+    ci = jnp.clip(ci, 0, index.contig_starts.shape[0] - 1)
+    c_lo = index.contig_starts[ci]
+    c_hi = index.contig_ends[ci]
+    ws = jnp.clip(ts - w_b, c_lo, jnp.maximum(c_hi - W, c_lo))
+    ws = jnp.maximum(ws, 0)
+
+    gpad = jnp.concatenate(
+        [index.genome, jnp.full((W,), 4, dtype=index.genome.dtype)])
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(gpad, (s,), (W,)))(ws)  # [2B*C, W]
+
+    # clamp aligned target range into the window and contig
+    ta = jnp.maximum(ts, c_lo) - ws
+    tb = jnp.minimum(jnp.minimum(te, c_hi), ws + W) - ws
+    tb = jnp.maximum(tb, ta + 1)
+
+    reads_rep = jnp.repeat(reads2, C, axis=0)               # [2B*C, L]
+    qa = cands.q_start.reshape(-1)
+    qb = jnp.maximum(cands.q_end.reshape(-1), qa + 1)
+
+    offs = jax.vmap(
+        _band_offsets, in_axes=(0, 0, 0, 0, 0, 0, None, None, None),
+    )(mq.reshape(n2 * C, -1), mt.reshape(n2 * C, -1), ml.reshape(n2 * C, -1),
+      qa, qb, ws, L, W, w_b)
+
+    res = banded_align(
+        reads_rep, windows, offs, qa, qb, ta, tb, submat,
+        gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3], w_b=w_b)
+    tbk = banded_traceback(res, offs, qa, qb, ta, tb, t_max=T, w_b=w_b)
+
+    valid = cands.valid.reshape(-1) & res.valid
+    return BatchResult(
+        score=res.score.reshape(n2, C),
+        valid=valid.reshape(n2, C),
+        q_start=qa.reshape(n2, C),
+        q_end=qb.reshape(n2, C),
+        t_start=(ta + ws).reshape(n2, C),
+        t_end=(tb + ws).reshape(n2, C),
+        n_match=tbk.n_match.reshape(n2, C),
+        n_mismatch=tbk.n_mismatch.reshape(n2, C),
+        n_ins=tbk.n_ins.reshape(n2, C),
+        n_del=tbk.n_del.reshape(n2, C),
+        ops=tbk.ops.reshape(n2, C, -1),
+        chain_score=cands.score.reshape(n2, C),
+        chain_anchors=cands.n_anchors.reshape(n2, C),
+        n_anchors=anchors.n_total,
+    )
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Alignment:
+    """Host-side alignment record (reference AlignmentCandidate analog,
+    iblasr/ReadAlignments.hpp:8)."""
+
+    qname: str
+    qlen: int
+    qstart: int          # forward-read coordinates
+    qend: int
+    strand: int          # 0 fwd, 1 rc
+    tindex: int          # contig index
+    tname: str
+    tlen: int
+    tstart: int          # forward contig coordinates
+    tend: int
+    score: float
+    n_match: int
+    n_mismatch: int
+    n_ins: int
+    n_del: int
+    map_qv: int = 254
+    cigar: Optional[List] = None      # list of (op_char, count), query-fwd order
+    read: Optional[np.ndarray] = None  # read codes (forward orientation)
+    qual: Optional[np.ndarray] = None
+    n_candidates: int = 0
+    n_significant_clusters: int = 0
+
+    @property
+    def pct_similarity(self) -> float:
+        n = self.n_match + self.n_mismatch + self.n_ins + self.n_del
+        return 100.0 * self.n_match / n if n else 0.0
+
+    @property
+    def n_cells(self) -> int:
+        return (self.qend - self.qstart) * 128
+
+
+def ops_to_cigar(ops_rev: np.ndarray) -> List:
+    """ops (end-first) -> run-length [(op, n), ...] in alignment order.
+    op codes: 1 '=', 2 'I', 3 'D', 4 'X'."""
+    ops = ops_rev[ops_rev > 0][::-1]
+    if len(ops) == 0:
+        return []
+    sym = {1: "=", 2: "I", 3: "D", 4: "X"}
+    change = np.nonzero(np.diff(ops))[0]
+    starts = np.concatenate([[0], change + 1])
+    ends = np.concatenate([change + 1, [len(ops)]])
+    return [(sym[int(ops[s])], int(e - s)) for s, e in zip(starts, ends)]
+
+
+def merge_adjacent_indels(cigar: List) -> List:
+    """Convert adjacent I/D (or D/I) pairs into match columns, as the
+    reference SAM printer does unless --allowAdjacentIndels
+    (ctest/cigarAdjecentIndels.t contract: no ID or DI in CIGAR)."""
+    runs = list(cigar)
+    changed = True
+    while changed:
+        changed = False
+        out: List = []
+        i = 0
+        while i < len(runs):
+            if (i + 1 < len(runs)
+                    and runs[i][0] in "ID" and runs[i + 1][0] in "ID"
+                    and runs[i][0] != runs[i + 1][0]):
+                a, na = runs[i]
+                b, nb = runs[i + 1]
+                m = min(na, nb)
+                out.append(("X", m))
+                if na > m:
+                    out.append((a, na - m))
+                if nb > m:
+                    out.append((b, nb - m))
+                i += 2
+                changed = True
+            else:
+                out.append(runs[i])
+                i += 1
+        # coalesce equal neighbours
+        runs = []
+        for op, n in out:
+            if runs and runs[-1][0] == op:
+                runs[-1] = (op, runs[-1][1] + n)
+            else:
+                runs.append((op, n))
+    return runs
+
+
+class Mapper:
+    """Host driver: buckets reads by length, invokes the jitted pipeline,
+    and produces :class:`Alignment` records (coordinate bookkeeping,
+    CIGAR assembly, strand flips)."""
+
+    def __init__(self, gi: GenomeIndex, params: MappingParams,
+                 cfg: Optional[ShapeConfig] = None):
+        self.gi = gi
+        self.params = params.make_sane()
+        self.cfg = cfg or ShapeConfig()
+        self.dev = DeviceIndex.from_host(gi)
+        m = np.asarray(self.params.score_matrix, dtype=np.float32).reshape(25)
+        self.submat = jnp.asarray(m)
+        p = self.params
+        if p.affine_align:
+            gaps = [p.affine_open + p.insertion, max(p.affine_extend, 1),
+                    p.affine_open + p.deletion, max(p.affine_extend, 1)]
+        else:
+            gaps = [p.insertion, p.insertion, p.deletion, p.deletion]
+        self.gap_costs = jnp.asarray(gaps, dtype=jnp.float32)
+
+    def batch_size_for(self, bucket: int) -> int:
+        # keep traceback HBM bounded: 2B*C*L*w_b bytes
+        budget = 1 << 28
+        b = budget // (2 * self.cfg.n_candidates * bucket * self.cfg.band_width)
+        return int(max(1, min(self.cfg.batch_size, b)))
+
+    def _run_bucket(self, recs: Sequence[FastaRecord], bucket: int,
+                    batch: int) -> List[List[Alignment]]:
+        cfg, p = self.cfg, self.params
+        L = bucket
+        W = cfg.window_len(L)
+        T = L + W
+        out: List[List[Alignment]] = []
+        for base in range(0, len(recs), batch):
+            group = recs[base:base + batch]
+            B = batch
+            arr = np.full((B, L), 4, dtype=np.int8)
+            lens = np.zeros(B, dtype=np.int32)
+            for i, r in enumerate(group):
+                n = min(len(r.seq), L)
+                arr[i, :n] = r.seq[:n]
+                lens[i] = n
+            res = map_batch(
+                self.dev, jnp.asarray(arr), jnp.asarray(lens),
+                self.submat, self.gap_costs,
+                cfg_k=self.gi.k, L=L, W=W, w_b=cfg.band_width,
+                C=cfg.n_candidates, A=cfg.max_anchors, O=cfg.occ_per_pos,
+                E=cfg.anchor_ext, T=T, max_chain=cfg.max_anchors,
+                min_match=p.min_match_length,
+                max_anchors_per_pos=p.max_anchors_per_position,
+                max_lcp=p.max_match_length, indel_rate=p.indel_rate)
+            res = jax.tree.map(np.asarray, res)
+            for i, r in enumerate(group):
+                out.append(self._collect(res, i, B, r, int(lens[i])))
+        return out
+
+    def _collect(self, res: BatchResult, i: int, B: int, rec: FastaRecord,
+                 rlen: int) -> List[Alignment]:
+        alns: List[Alignment] = []
+        p = self.params
+        for strand in (0, 1):
+            if strand == 1 and p.forward_only:
+                continue
+            row = i + strand * B
+            for c in range(res.score.shape[1]):
+                if not res.valid[row, c]:
+                    continue
+                qa, qb = int(res.q_start[row, c]), int(res.q_end[row, c])
+                ts, te = int(res.t_start[row, c]), int(res.t_end[row, c])
+                ci, tpos = self.gi.seqdb.genome_to_chrom(ts)
+                lo, hi = self.gi.seqdb.contig_bounds(ci)
+                if te > hi:  # window crossed a contig boundary; drop
+                    continue
+                cigar = ops_to_cigar(res.ops[row, c])
+                if not p.allow_adjacent_indels:
+                    cigar = merge_adjacent_indels(cigar)
+                if strand == 0:
+                    qs, qe = qa, qb
+                else:
+                    qs, qe = rlen - qb, rlen - qa
+                alns.append(Alignment(
+                    qname=rec.name if rec.name else f"read/{i}",
+                    qlen=rlen, qstart=qs, qend=qe, strand=strand,
+                    tindex=ci, tname=self.gi.seqdb.names[ci],
+                    tlen=int(self.gi.seqdb.lengths[ci]),
+                    tstart=tpos, tend=te - lo,
+                    score=float(res.score[row, c]),
+                    n_match=int(res.n_match[row, c]),
+                    n_mismatch=int(res.n_mismatch[row, c]),
+                    n_ins=int(res.n_ins[row, c]),
+                    n_del=int(res.n_del[row, c]),
+                    cigar=cigar, read=rec.seq, qual=rec.qual,
+                ))
+        for a in alns:
+            a.n_candidates = len(alns)
+        return alns
+
+    def map_reads(self, recs: Sequence[FastaRecord]) -> List[List[Alignment]]:
+        """Map reads; returns per-read alignment lists in input order."""
+        p = self.params
+        order: Dict[int, List[Alignment]] = {}
+        kept = [(j, r) for j, r in enumerate(recs)
+                if len(r.seq) >= p.min_read_length
+                and (p.max_read_length == 0 or len(r.seq) <= p.max_read_length)]
+        for j in range(len(recs)):
+            order[j] = []
+        buckets: Dict[int, List] = {}
+        for j, r in kept:
+            b = self.cfg.bucket_for(len(r.seq))
+            buckets.setdefault(b, []).append((j, r))
+        for b, items in sorted(buckets.items()):
+            batch = self.batch_size_for(b)
+            results = self._run_bucket([r for _, r in items], b, batch)
+            for (j, _), alns in zip(items, results):
+                order[j] = alns
+        return [order[j] for j in range(len(recs))]

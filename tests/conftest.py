@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU mesh so sharding tests
+run without TPU hardware.  Must run before jax is imported anywhere."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard override (env may point at TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_genome():
+    from blasr_tpu.sim import random_genome
+    return random_genome(200_000, seed=42, n_contigs=2)
+
+
+@pytest.fixture(scope="session")
+def small_index(small_genome):
+    from blasr_tpu.index import build_genome_index
+    return build_genome_index(small_genome, k=12)

@@ -1,0 +1,193 @@
+"""Banded affine DP kernel vs full (unbanded) Gotoh oracle.
+
+The oracle implements the same state machine as the kernel:
+  M from min(M,I,D) diag;  I opens from M / extends I (vertical, consumes
+  read);  D opens from min(M,I) / extends D (horizontal, consumes target).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from blasr_tpu.kernels.banded import banded_align, banded_traceback
+from blasr_tpu.params import default_score_matrix
+
+INF = 1e30
+
+
+def oracle(read, tgt, submat, io, ie, do, de):
+    n, m = len(read), len(tgt)
+    M = np.full((n + 1, m + 1), INF)
+    I = np.full((n + 1, m + 1), INF)
+    D = np.full((n + 1, m + 1), INF)
+    M[0][0] = 0.0
+    for j in range(1, m + 1):
+        D[0][j] = do + de * (j - 1)
+    for i in range(1, n + 1):
+        I[i][0] = io + ie * (i - 1)
+        for j in range(0, m + 1):
+            if j > 0:
+                sub = submat[read[i - 1] * 5 + tgt[j - 1]]
+                M[i][j] = sub + min(M[i - 1][j - 1], I[i - 1][j - 1],
+                                    D[i - 1][j - 1])
+            I[i][j] = min(I[i][j], M[i - 1][j] + io, I[i - 1][j] + ie)
+            if j > 0:
+                D[i][j] = min(D[i][j], M[i][j - 1] + do, I[i][j - 1] + do,
+                              D[i][j - 1] + de)
+    return min(M[n][m], I[n][m], D[n][m])
+
+
+def run_kernel(read, window, qa, qb, ta, tb, io=4, ie=4, do=5, de=5, w_b=32,
+               center=None):
+    # kernel requires ta >= 1 (boundary cell at ta-1): shift window by one
+    # sentinel N; traceback ops are unaffected by the shift
+    window = np.concatenate([[4], window]).astype(np.int8)
+    ta, tb = ta + 1, tb + 1
+    L = len(read)
+    W = len(window)
+    submat = np.asarray(default_score_matrix(), np.float32).reshape(25)
+    r = np.arange(L)
+    center = ta + (r - qa) if center is None else np.asarray(center) + 1
+    off = np.clip(center - w_b // 2, 0, W - w_b)
+    off = np.maximum.accumulate(off).astype(np.int32)
+    res = banded_align(
+        jnp.asarray(read, jnp.int8)[None], jnp.asarray(window, jnp.int8)[None],
+        jnp.asarray(off)[None],
+        jnp.asarray([qa], jnp.int32), jnp.asarray([qb], jnp.int32),
+        jnp.asarray([ta], jnp.int32), jnp.asarray([tb], jnp.int32),
+        jnp.asarray(submat), float(io), float(ie), float(do), float(de),
+        w_b=w_b)
+    tbk = banded_traceback(res, jnp.asarray(off)[None],
+                           jnp.asarray([qa], jnp.int32), jnp.asarray([qb], jnp.int32),
+                           jnp.asarray([ta], jnp.int32), jnp.asarray([tb], jnp.int32),
+                           t_max=L + W, w_b=w_b)
+    return res, tbk, submat, off
+
+
+def replay_ops(ops_rev, read, window, qa, ta, submat, io, ie, do, de):
+    """Recompute cost + consumption from the traceback op string."""
+    ops = list(ops_rev[ops_rev > 0][::-1])
+    q, t = qa, ta
+    cost = 0.0
+    prev = None
+    for op in ops:
+        if op in (1, 4):
+            cost += submat[read[q] * 5 + window[t]]
+            q += 1
+            t += 1
+        elif op == 2:
+            cost += io if prev != 2 else ie
+            q += 1
+        elif op == 3:
+            cost += do if prev != 3 else de
+            t += 1
+        prev = op
+    return cost, q, t
+
+
+def test_exact_match_score():
+    rng = np.random.default_rng(0)
+    seq = rng.integers(0, 4, 40, dtype=np.int8)
+    res, tbk, submat, _ = run_kernel(seq, seq, 0, 40, 0, 40)
+    assert bool(res.valid[0])
+    assert float(res.score[0]) == -5.0 * 40
+    assert int(tbk.n_match[0]) == 40
+    assert int(tbk.n_mismatch[0]) == int(tbk.n_ins[0]) == int(tbk.n_del[0]) == 0
+
+
+def test_single_substitution():
+    rng = np.random.default_rng(1)
+    tgt = rng.integers(0, 4, 40, dtype=np.int8)
+    read = tgt.copy()
+    read[20] = (read[20] + 1) % 4
+    res, tbk, *_ = run_kernel(read, tgt, 0, 40, 0, 40)
+    assert float(res.score[0]) == -5.0 * 39 + 6.0
+    assert int(tbk.n_mismatch[0]) == 1
+
+
+def test_single_insertion_and_deletion():
+    rng = np.random.default_rng(2)
+    tgt = rng.integers(0, 4, 41, dtype=np.int8)
+    # read = tgt with one base inserted at 15
+    read = np.concatenate([tgt[:15], [2], tgt[15:]]).astype(np.int8)
+    res, tbk, *_ = run_kernel(read, tgt, 0, len(read), 0, len(tgt))
+    sc = float(res.score[0])
+    # one insertion (cost 4) somewhere; rest matches (or a 6+(-5) tie is worse)
+    assert sc == -5.0 * 41 + 4.0
+    assert int(tbk.n_ins[0]) >= 1
+
+    # read = tgt with one base deleted
+    read2 = np.concatenate([tgt[:15], tgt[16:]]).astype(np.int8)
+    res2, tbk2, *_ = run_kernel(read2, tgt, 0, len(read2), 0, len(tgt))
+    assert float(res2.score[0]) == -5.0 * 40 + 5.0
+    assert int(tbk2.n_del[0]) >= 1
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("affine", [False, True])
+def test_vs_oracle_random(seed, affine):
+    rng = np.random.default_rng(seed)
+    m = 50
+    tgt = rng.integers(0, 4, m, dtype=np.int8)
+    # read: mutated copy (sub/ins/del)
+    read = []
+    for b in tgt:
+        x = rng.random()
+        if x < 0.06:
+            continue
+        if x < 0.12:
+            read.append(rng.integers(0, 4))
+        else:
+            read.append(b)
+        if rng.random() < 0.08:
+            read.append(rng.integers(0, 4))
+    read = np.array(read, dtype=np.int8)
+    io, ie, do, de = (10.0, 1.0, 12.0, 2.0) if affine else (4.0, 4.0, 5.0, 5.0)
+    res, tbk, submat, _ = run_kernel(read, tgt, 0, len(read), 0, len(tgt),
+                                     io=io, ie=ie, do=do, de=de)
+    expect = oracle(read, tgt, submat, io, ie, do, de)
+    assert bool(res.valid[0])
+    assert float(res.score[0]) == pytest.approx(expect), f"seed={seed}"
+    # traceback replay must reproduce the score exactly and consume all bases
+    cost, q, t = replay_ops(np.asarray(tbk.ops[0]), read, tgt, 0, 0,
+                            submat, io, ie, do, de)
+    assert cost == pytest.approx(float(res.score[0]))
+    assert q == len(read) and t == len(tgt)
+
+
+def test_subrange_alignment():
+    """Alignment restricted to [qa,qb) x [ta,tb) inside larger arrays."""
+    rng = np.random.default_rng(7)
+    window = rng.integers(0, 4, 80, dtype=np.int8)
+    read = np.full(64, 4, dtype=np.int8)
+    qa, qb, ta, tb = 5, 35, 20, 50
+    read[qa:qb] = window[ta:tb]
+    res, tbk, submat, _ = run_kernel(read, window, qa, qb, ta, tb)
+    assert bool(res.valid[0])
+    assert float(res.score[0]) == -5.0 * 30
+    assert int(tbk.n_match[0]) == 30
+    cost, q, t = replay_ops(np.asarray(tbk.ops[0]), read, window, qa, ta,
+                            submat, 4, 4, 5, 5)
+    assert (q, t) == (qb, tb)
+
+
+def test_band_shift_with_offset_jump():
+    """Band offsets that jump (target gap between anchors) still produce a
+    valid alignment whose replayed cost equals the DP score."""
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 4, 30, dtype=np.int8)
+    b = rng.integers(0, 4, 30, dtype=np.int8)
+    gap = rng.integers(0, 4, 25, dtype=np.int8)
+    window = np.concatenate([a, gap, b]).astype(np.int8)
+    read = np.concatenate([a, b]).astype(np.int8)
+    L, W = len(read), len(window)
+    # guide path: diagonal through a, jump by 25, diagonal through b
+    center = np.where(np.arange(L) < 30, np.arange(L), np.arange(L) + 25)
+    res, tbk, submat, _ = run_kernel(read, window, 0, L, 0, W, w_b=32,
+                                     center=center)
+    assert bool(res.valid[0])
+    assert float(res.score[0]) == -5.0 * 60 + 5.0 + 5.0 * 24
+    cost, q, t = replay_ops(np.asarray(tbk.ops[0]), read, window, 0, 0,
+                            submat, 4, 4, 5, 5)
+    assert cost == pytest.approx(float(res.score[0]))
+    assert (q, t) == (L, W)
