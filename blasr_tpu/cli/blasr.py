@@ -149,7 +149,13 @@ def run(argv: Optional[List[str]] = None) -> int:
 
     reads = []
     for path in expand_file_name_list([args.reads]):
-        reads.extend(read_sequences(path))
+        try:
+            reads.extend(read_sequences(path))
+        except (FileNotFoundError, PermissionError) as e:
+            # unopenable input -> warn and continue to the next file
+            # (Blasr.cpp:1352-1355, tested by ctest/open_fail.t)
+            sys.stderr.write(f"WARNING: Could not open {path}: {e}\n")
+            continue
     # --start/--stride process-level sharding (Blasr.cpp:1270)
     reads = reads[params.start_read::max(1, params.stride)]
 

@@ -41,13 +41,18 @@ class DeviceIndex(NamedTuple):
 
     @staticmethod
     def from_host(gi: GenomeIndex) -> "DeviceIndex":
+        # one sentinel N is prepended so every genome coordinate is >= 1:
+        # the banded DP needs its boundary cell at ta-1 to be addressable
+        # even for alignments starting at the very first contig base.
+        # map_batch subtracts the offset from its outputs.
+        sentinel = np.full(1, 4, dtype=gi.genome.dtype)
         return DeviceIndex(
-            genome=jnp.asarray(gi.genome),
+            genome=jnp.asarray(np.concatenate([sentinel, gi.genome])),
             keys_sorted=jnp.asarray(gi.keys_sorted),
-            pos_sorted=jnp.asarray(gi.pos_sorted),
-            contig_starts=jnp.asarray(gi.seqdb.starts, dtype=jnp.int32),
+            pos_sorted=jnp.asarray(gi.pos_sorted) + 1,
+            contig_starts=jnp.asarray(gi.seqdb.starts, dtype=jnp.int32) + 1,
             contig_ends=jnp.asarray(
-                gi.seqdb.starts + gi.seqdb.lengths, dtype=jnp.int32),
+                gi.seqdb.starts + gi.seqdb.lengths, dtype=jnp.int32) + 1,
             k=gi.k,
         )
 
@@ -166,7 +171,9 @@ def map_batch(
     ci = jnp.clip(ci, 0, index.contig_starts.shape[0] - 1)
     c_lo = index.contig_starts[ci]
     c_hi = index.contig_ends[ci]
-    ws = jnp.clip(ts - w_b, c_lo, jnp.maximum(c_hi - W, c_lo))
+    # window may start one base before the contig (the sentinel / spacer):
+    # that base is only the DP boundary cell, never consumed
+    ws = jnp.clip(ts - w_b, c_lo - 1, jnp.maximum(c_hi - W, c_lo - 1))
     ws = jnp.maximum(ws, 0)
 
     gpad = jnp.concatenate(
@@ -199,8 +206,8 @@ def map_batch(
         valid=valid.reshape(n2, C),
         q_start=qa.reshape(n2, C),
         q_end=qb.reshape(n2, C),
-        t_start=(ta + ws).reshape(n2, C),
-        t_end=(tb + ws).reshape(n2, C),
+        t_start=(ta + ws - 1).reshape(n2, C),  # -1: device genome sentinel
+        t_end=(tb + ws - 1).reshape(n2, C),
         n_match=tbk.n_match.reshape(n2, C),
         n_mismatch=tbk.n_mismatch.reshape(n2, C),
         n_ins=tbk.n_ins.reshape(n2, C),

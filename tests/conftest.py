@@ -3,11 +3,16 @@ run without TPU hardware.  Must run before jax is imported anywhere."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # hard override (env may point at TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS; config wins
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,103 @@
+"""Multi-device tests on the virtual 8-CPU mesh: data-parallel equivalence
+and reference-sharded mapping (SURVEY.md §2.9 TPU-native parallelism)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blasr_tpu.dist.mesh import (
+    make_mesh, map_batch_data_parallel, map_batch_ref_sharded, shard_index)
+from blasr_tpu.index import build_genome_index
+from blasr_tpu.params import MappingParams, ShapeConfig
+from blasr_tpu.pipeline.map_read import DeviceIndex, map_batch
+from blasr_tpu.sim import random_genome, simulate_reads
+
+
+def setup_world(B, L, glen=50_000):
+    contigs = random_genome(glen, seed=21)
+    gi = build_genome_index(contigs, k=12)
+    sims = simulate_reads(contigs, B, read_len=(150, L - 30), accuracy=0.9,
+                          seed=22)
+    reads = np.full((B, L), 4, dtype=np.int8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, s in enumerate(sims):
+        n = min(len(s.rec.seq), L)
+        reads[i, :n] = s.rec.seq[:n]
+        lens[i] = n
+    p = MappingParams().make_sane()
+    submat = jnp.asarray(np.asarray(p.score_matrix, np.float32).reshape(25))
+    gaps = jnp.asarray([4, 4, 5, 5], jnp.float32)
+    cfg = ShapeConfig(buckets=(L,), band_width=128)
+    static = dict(cfg_k=12, L=L, W=cfg.window_len(L), w_b=128, C=4, A=64,
+                  O=4, E=36, T=L + cfg.window_len(L), max_chain=64,
+                  min_match=12, max_anchors_per_pos=1000, max_lcp=0,
+                  indel_rate=0.3)
+    return gi, sims, reads, lens, submat, gaps, static
+
+
+def test_requires_8_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+
+
+def test_data_parallel_matches_single_device():
+    B, L = 8, 256
+    gi, sims, reads, lens, submat, gaps, static = setup_world(B, L)
+    dev = DeviceIndex.from_host(gi)
+    ref = map_batch(dev, jnp.asarray(reads), jnp.asarray(lens), submat,
+                    gaps, **static)
+    mesh = make_mesh(4, 1)
+    with mesh:
+        out = map_batch_data_parallel(
+            mesh, dev, jnp.asarray(reads), jnp.asarray(lens), submat, gaps,
+            **static)
+    np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(out.score))
+    np.testing.assert_array_equal(np.asarray(ref.t_start),
+                                  np.asarray(out.t_start))
+    np.testing.assert_array_equal(np.asarray(ref.ops), np.asarray(out.ops))
+
+
+def test_shard_index_covers_genome():
+    contigs = random_genome(30_000, seed=3)
+    gi = build_genome_index(contigs, k=12)
+    genomes, keys, pos, offs = shard_index(gi, 4, overlap=500)
+    assert genomes.shape[0] == 4
+    # every genome position with a valid kmer appears in >= 1 shard
+    all_pos = set()
+    for s in range(4):
+        valid = keys[s] != np.uint32(0xFFFFFFFF)
+        all_pos.update((pos[s][valid]).tolist())
+    assert len(all_pos) >= len(gi.pos_sorted)  # overlap adds duplicates
+
+
+def test_ref_sharded_finds_same_best_hits():
+    B, L = 8, 256
+    gi, sims, reads, lens, submat, gaps, static = setup_world(B, L)
+    dev = DeviceIndex.from_host(gi)
+    ref = map_batch(dev, jnp.asarray(reads), jnp.asarray(lens), submat,
+                    gaps, **static)
+    mesh = make_mesh(2, 2)
+    with mesh:
+        out = map_batch_ref_sharded(mesh, gi, reads, lens, submat, gaps,
+                                    **static)
+    # rows come back per data-shard [fwd, rc] interleaved; reconstruct
+    n_data = 2
+    Bl = B // n_data
+    row_map = {}
+    for d in range(n_data):
+        for i in range(Bl):
+            row_map[d * Bl + i] = d * 2 * Bl + i            # fwd
+            row_map[B + d * Bl + i] = d * 2 * Bl + Bl + i    # rc
+    ref_np = jax.tree.map(np.asarray, ref)
+    out_np = jax.tree.map(np.asarray, out)
+    matched = 0
+    for r in range(2 * B):
+        if not ref_np.valid[r].any():
+            continue
+        rbest = ref_np.score[r][ref_np.valid[r]].min()
+        obest = out_np.score[row_map[r]][out_np.valid[row_map[r]]].min() \
+            if out_np.valid[row_map[r]].any() else None
+        if obest is not None and obest <= rbest:
+            matched += 1
+    total = sum(1 for r in range(2 * B) if ref_np.valid[r].any())
+    assert matched >= total * 0.9, f"{matched}/{total}"
