@@ -36,18 +36,18 @@ def main():
           f"({jax.devices()[0].platform})", file=sys.stderr)
 
     n_reads = 512
-    sims = simulate_reads(contigs, n_reads, read_len=(500, 4000),
+    sims = simulate_reads(contigs, n_reads, read_len=(500, 1980),
                           accuracy=0.85, seed=12)
     recs = [s.rec for s in sims]
 
     params = MappingParams().make_sane()
-    cfg = ShapeConfig(buckets=(1024, 2048, 4096), batch_size=32,
-                      max_anchors=512)
+    # single length bucket: one compile (remote-TPU compiles are minutes)
+    cfg = ShapeConfig(buckets=(2048,), batch_size=32, max_anchors=512)
     mapper = Mapper(gi, params, cfg)
 
-    # warmup: compile each bucket
+    # warmup: compile the bucket
     t0 = time.time()
-    warm = mapper.map_reads(recs[:64])
+    warm = mapper.map_reads(recs[:32])
     print(f"# warmup (compile) {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()

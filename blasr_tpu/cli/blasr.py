@@ -162,14 +162,28 @@ def run(argv: Optional[List[str]] = None) -> int:
     mapper = Mapper(gi, params)
     per_read = mapper.map_reads(reads)
 
-    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    cmdline = " ".join(argv or sys.argv[1:])
     unaligned_f = open(args.unaligned, "w") if args.unaligned else None
     try:
-        emit(out, unaligned_f, reads, per_read, gi, params,
-             cmdline=" ".join(argv or sys.argv[1:]))
+        if params.print_format == "bam":
+            from blasr_tpu.io.bam import BamWriter
+            fobj = open(args.out, "wb") if args.out != "-" \
+                else sys.stdout.buffer
+            bw = BamWriter(fobj, formats.sam_header(gi, cmdline),
+                           gi.seqdb.names,
+                           [int(x) for x in gi.seqdb.lengths])
+            emit(bw, unaligned_f, reads, per_read, gi, params, cmdline)
+            bw.close()
+            if args.out != "-":
+                fobj.close()
+        else:
+            out = sys.stdout if args.out == "-" else open(args.out, "w")
+            try:
+                emit(out, unaligned_f, reads, per_read, gi, params, cmdline)
+            finally:
+                if out is not sys.stdout:
+                    out.close()
     finally:
-        if out is not sys.stdout:
-            out.close()
         if unaligned_f:
             unaligned_f.close()
     log("ended.")
@@ -178,6 +192,7 @@ def run(argv: Optional[List[str]] = None) -> int:
 
 def emit(out, unaligned_f, reads, per_read, gi, params, cmdline=""):
     fmt = params.print_format
+    ref_ids = {n: i for i, n in enumerate(gi.seqdb.names)}
     if fmt == "sam":
         out.write(formats.sam_header(gi, cmdline))
     elif fmt == "m4" and params.print_header:
@@ -192,7 +207,9 @@ def emit(out, unaligned_f, reads, per_read, gi, params, cmdline=""):
                                         params.print_unaligned and False)
             continue
         for a in chosen:
-            if fmt == "sam" or fmt == "bam":
+            if fmt == "bam":
+                out.write_record(formats.to_bam_record(a, params, ref_ids))
+            elif fmt == "sam":
                 formats.write_sam(out, a, params)
             elif fmt == "m0":
                 formats.write_m0(out, a, gi)

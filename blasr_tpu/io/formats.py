@@ -237,6 +237,57 @@ def write_sam(f: TextIO, a: Alignment, params=None):
     f.write("\t".join(fields) + "\n")
 
 
+def to_bam_record(a: Alignment, params=None, ref_ids: Optional[dict] = None):
+    """Alignment -> BamRecord, mirroring write_sam's clipping semantics."""
+    from blasr_tpu.io.bam import BamRecord
+    clipping = getattr(params, "clipping", "none") if params else "none"
+    use_eq = getattr(params, "cigar_use_seq_match", False) if params else False
+    oread = _oriented_read(a)
+    qa, qb = _strand_local_q(a)
+    cigar = list(a.cigar or [])
+    if not use_eq:
+        merged: List = []
+        for op, n in cigar:
+            o = "M" if op in "=X" else op
+            if merged and merged[-1][0] == o:
+                merged[-1] = (o, merged[-1][1] + n)
+            else:
+                merged.append((o, n))
+        cigar = merged
+    if clipping in ("soft", "subread"):
+        if qa:
+            cigar = [("S", qa)] + cigar
+        if a.qlen - qb:
+            cigar = cigar + [("S", a.qlen - qb)]
+        seq = oread
+        qual = a.qual if a.strand == 0 else (
+            a.qual[::-1] if a.qual is not None else None)
+        qname = _qname(a, True) if "/" in a.qname else _qname(a, False)
+    elif clipping == "hard":
+        if qa:
+            cigar = [("H", qa)] + cigar
+        if a.qlen - qb:
+            cigar = cigar + [("H", a.qlen - qb)]
+        seq = oread[qa:qb]
+        qual = None
+        qname = _qname(a, False)
+    else:
+        seq = oread[qa:qb]
+        q = a.qual if a.strand == 0 else (
+            a.qual[::-1] if a.qual is not None else None)
+        qual = q[qa:qb] if q is not None else None
+        base = a.qname if "/" not in a.qname else a.qname.rsplit("/", 1)[0]
+        qname = f"{base}/{a.qstart}_{a.qend}"
+    return BamRecord(
+        qname=qname, flag=16 if a.strand else 0,
+        ref_id=(ref_ids or {}).get(a.tname, a.tindex),
+        pos=a.tstart, mapq=min(a.map_qv, 254), cigar=cigar, seq=seq,
+        qual=qual,
+        tags={"AS": int(a.score), "NM": a.n_mismatch + a.n_ins + a.n_del,
+              "RG": "default"},
+    )
+
+
 def write_unaligned(f: TextIO, qname: str, seq: Optional[np.ndarray],
                     no_seqs: bool = False):
     """Unaligned-read listing (PrintUnaligned, BlasrUtilsImpl.hpp:1098-1114)."""

@@ -34,6 +34,9 @@ class Anchors(NamedTuple):
     l: jnp.ndarray       # int32 [B, A] exact-match length
     valid: jnp.ndarray   # bool  [B, A]
     n_total: jnp.ndarray  # int32 [B] anchors found before capacity cap
+    nlogp: jnp.ndarray   # float32 [B, A] -log P(anchor by chance): the
+    #                      tuple-frequency significance weight
+    #                      (LISPValueWeightor family, BlasrHeaders.h:54-57)
 
 
 def read_kmer_keys(reads: jnp.ndarray, read_len: jnp.ndarray, k: int):
@@ -72,6 +75,10 @@ def find_anchors(
     max_anchors_per_pos: int,
     max_lcp: int = 0,
 ) -> Anchors:
+    """See module docstring.  Anchor significance: an anchor whose seed
+    k-mer occurs n times in an M-position index and extends to length l
+    has -log P = log(M/n) + (l-k)*log(4) — the occurrence count doubles
+    as the reference's TupleCountTable frequency (Blasr.cpp:1136-1147)."""
     B, L = reads.shape
     G = genome.shape[0]
     O = occ_per_pos
@@ -121,18 +128,26 @@ def find_anchors(
         length = jnp.minimum(length, max_lcp)
     cand_valid &= length >= min_match
 
+    # anchor significance in nats (see docstring)
+    LOG4 = jnp.float32(1.3862944)
+    m_total = jnp.float32(pos_sorted.shape[0])
+    seed_nlogp = jnp.log(m_total / jnp.maximum(nocc, 1).astype(jnp.float32))
+    nlogp = seed_nlogp[:, :, None] + (length - k).astype(jnp.float32) * LOG4
+
     # top-A selection: valid first, longer first, then by (q, occ) for
     # a deterministic order
     flat_valid = cand_valid.reshape(B, L * O)
     flat_len = length.reshape(B, L * O)
     flat_q = q.reshape(B, L * O)
     flat_t = t.reshape(B, L * O)
+    flat_p = nlogp.reshape(B, L * O)
     rank = jnp.where(flat_valid, -flat_len, BIG)
     order = jnp.argsort(rank, axis=1, stable=True)[:, :max_anchors]
     sel_q = jnp.take_along_axis(flat_q, order, axis=1)
     sel_t = jnp.take_along_axis(flat_t, order, axis=1)
     sel_l = jnp.take_along_axis(flat_len, order, axis=1)
     sel_v = jnp.take_along_axis(flat_valid, order, axis=1)
+    sel_p = jnp.take_along_axis(flat_p, order, axis=1)
     n_total = jnp.sum(flat_valid, axis=1).astype(jnp.int32)
 
     # final order: by genome position (SortMatchPosList,
@@ -145,4 +160,5 @@ def find_anchors(
         l=jnp.take_along_axis(sel_l, order2, axis=1),
         valid=jnp.take_along_axis(sel_v, order2, axis=1),
         n_total=n_total,
+        nlogp=jnp.take_along_axis(sel_p, order2, axis=1),
     )

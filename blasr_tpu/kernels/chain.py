@@ -40,6 +40,8 @@ class Candidates(NamedTuple):
     t_end: jnp.ndarray     # int32 [B, C] (exclusive)
     score: jnp.ndarray     # float32 [B, C] chain weight (anchor bases)
     n_anchors: jnp.ndarray  # int32 [B, C] chain length (ClusterList stat)
+    nlogp: jnp.ndarray     # float32 [B, C] chain significance, nats
+    #                        (LISSumOfLogPWeightor, BlasrHeaders.h:56)
     valid: jnp.ndarray     # bool [B, C]
     end_idx: jnp.ndarray   # int32 [B, C] index of chain-end anchor in Anchors
     parent: jnp.ndarray    # int32 [B, A] chain parent pointer (-1 = start)
@@ -64,7 +66,7 @@ def chain_anchors(
     lf = l.astype(jnp.float32)
 
     def step(carry, i):
-        best, sq, st, cnt, parent = carry
+        best, sq, st, cnt, sump, parent = carry
         # transitions j -> i for all j (anchors are t-sorted, so j<i in t
         # order; enforce t_j < t_i explicitly to be safe with ties)
         qi = qf[:, i]          # [B]
@@ -98,20 +100,31 @@ def chain_anchors(
         cnt_i = jnp.where(
             start_new, 1,
             jnp.take_along_axis(cnt, j_best[:, None], 1)[:, 0] + 1)
+        # significance accumulates scaled by the non-overlapped fraction
+        pi = anchors.nlogp[:, i]
+        frac = jnp.where(
+            start_new, 1.0,
+            jnp.take_along_axis(gain, j_best[:, None], 1)[:, 0]
+            / jnp.maximum(li0, 1.0))
+        sump_i = jnp.where(
+            start_new, pi,
+            jnp.take_along_axis(sump, j_best[:, None], 1)[:, 0] + pi * frac)
         best = best.at[:, i].set(jnp.where(valid[:, i], best_i, NEG))
         sq = sq.at[:, i].set(sq_i)
         st = st.at[:, i].set(st_i)
         cnt = cnt.at[:, i].set(jnp.where(valid[:, i], cnt_i, 0))
+        sump = sump.at[:, i].set(jnp.where(valid[:, i], sump_i, 0.0))
         parent = parent.at[:, i].set(jnp.where(valid[:, i], par_i, -1))
-        return (best, sq, st, cnt, parent), None
+        return (best, sq, st, cnt, sump, parent), None
 
     best0 = jnp.full((B, A), NEG, dtype=jnp.float32)
     sq0 = jnp.zeros((B, A), dtype=jnp.int32)
     st0 = jnp.zeros((B, A), dtype=jnp.int32)
     cnt0 = jnp.zeros((B, A), dtype=jnp.int32)
+    sump0 = jnp.zeros((B, A), dtype=jnp.float32)
     par0 = jnp.full((B, A), -1, dtype=jnp.int32)
-    (best, sq, st, cnt, parent), _ = jax.lax.scan(
-        step, (best0, sq0, st0, cnt0, par0), jnp.arange(A))
+    (best, sq, st, cnt, sump, parent), _ = jax.lax.scan(
+        step, (best0, sq0, st0, cnt0, sump0, par0), jnp.arange(A))
 
     # select top n_cand chain ends, suppressing ends whose interval overlaps
     # an already-selected one on the genome (nCandidates distinct windows)
@@ -143,11 +156,13 @@ def chain_anchors(
     qs, qe, ts, te, sc, okv, endi = [jnp.moveaxis(o, 0, 1) for o in outs]
 
     n_anch = jnp.take_along_axis(cnt, endi, axis=1)
+    chain_p = jnp.take_along_axis(sump, endi, axis=1)
 
     return Candidates(
         q_start=qs, q_end=qe, t_start=ts, t_end=te,
         score=jnp.where(okv, sc, 0.0),
         n_anchors=jnp.where(okv, n_anch, 0),
+        nlogp=jnp.where(okv, chain_p, 0.0),
         valid=okv, end_idx=endi, parent=parent,
     )
 

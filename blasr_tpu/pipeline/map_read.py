@@ -141,6 +141,8 @@ def map_batch(
     read_len: jnp.ndarray,     # int32 [B]
     submat: jnp.ndarray,       # float32 [25]
     gap_costs: jnp.ndarray,    # float32 [4] ins_open, ins_ext, del_open, del_ext
+    sig_thresh=0.0,            # float: min chain -log P (significance gate,
+    #                            the LookupAnchorDistribution analog)
     *,
     cfg_k: int, L: int, W: int, w_b: int, C: int, A: int, O: int, E: int,
     T: int, max_chain: int, min_match: int, max_anchors_per_pos: int,
@@ -160,6 +162,11 @@ def map_batch(
         max_lcp=max_lcp)
 
     cands = chain_anchors(anchors, rlen2, n_cand=C, indel_rate=indel_rate)
+    # significance gate: drop candidate intervals explainable by chance
+    # (reference: anchor-distribution mapQV gate + LIS P-value,
+    # BlasrAlignImpl.hpp:391-488)
+    cands = cands._replace(
+        valid=cands.valid & (cands.nlogp >= jnp.float32(sig_thresh)))
     mq, mt, ml, mvalid = chain_members(cands, anchors, max_chain=max_chain)
 
     # per-candidate genome windows, clamped to contig bounds
@@ -353,9 +360,12 @@ class Mapper:
                 n = min(len(r.seq), L)
                 arr[i, :n] = r.seq[:n]
                 lens[i] = n
+            # E-value-style significance: chain surprise must exceed
+            # log(#possible placements) = log(2 * G * L)
+            sig = float(np.log(2.0 * max(self.gi.glen, 2) * L))
             res = map_batch(
                 self.dev, jnp.asarray(arr), jnp.asarray(lens),
-                self.submat, self.gap_costs,
+                self.submat, self.gap_costs, np.float32(sig),
                 cfg_k=self.gi.k, L=L, W=W, w_b=cfg.band_width,
                 C=cfg.n_candidates, A=cfg.max_anchors, O=cfg.occ_per_pos,
                 E=cfg.anchor_ext, T=T, max_chain=cfg.max_anchors,

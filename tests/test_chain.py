@@ -18,8 +18,10 @@ def make_anchors(triples, A=16):
     v = np.zeros((1, A), dtype=bool)
     for i, (qq, tt, ll) in enumerate(triples):
         q[0, i], t[0, i], l[0, i], v[0, i] = qq, tt, ll, True
+    nlogp = l.astype(np.float32) * np.float32(np.log(4.0))
     return Anchors(jnp.asarray(q), jnp.asarray(t), jnp.asarray(l),
-                   jnp.asarray(v), jnp.asarray(np.array([n], np.int32)))
+                   jnp.asarray(v), jnp.asarray(np.array([n], np.int32)),
+                   jnp.asarray(nlogp))
 
 
 def test_single_clean_chain():
