@@ -155,6 +155,14 @@ def map_batch_ref_sharded(
         key = jnp.where(valid, score, jnp.float32(1e30))
         order = jnp.argsort(key, axis=1, stable=True)[:, :C]
 
+        # ops are compacted per shard [R, N_dp, T]: translate per-shard
+        # dp slots into rows of the concatenated ops array
+        n_shards, n_dp, t_len = gathered.ops.shape
+        slot_global = gathered.dp_slot + (
+            jnp.arange(n_shards, dtype=jnp.int32)[:, None, None] * n_dp)
+        slot_global = jnp.where(gathered.dp_slot >= 0, slot_global, -1)
+        ops_all = gathered.ops.reshape(n_shards * n_dp, t_len)
+
         out = BatchResult(
             score=jnp.take_along_axis(score, order, 1),
             valid=jnp.take_along_axis(valid, order, 1),
@@ -166,10 +174,8 @@ def map_batch_ref_sharded(
             n_mismatch=jnp.take_along_axis(merge(gathered.n_mismatch), order, 1),
             n_ins=jnp.take_along_axis(merge(gathered.n_ins), order, 1),
             n_del=jnp.take_along_axis(merge(gathered.n_del), order, 1),
-            ops=jnp.take_along_axis(
-                jnp.moveaxis(gathered.ops, 0, 1).reshape(
-                    gathered.ops.shape[1], -1, gathered.ops.shape[-1]),
-                order[..., None], axis=1),
+            ops=ops_all,
+            dp_slot=jnp.take_along_axis(merge(slot_global), order, 1),
             chain_score=jnp.take_along_axis(merge(gathered.chain_score), order, 1),
             chain_anchors=jnp.take_along_axis(merge(gathered.chain_anchors), order, 1),
             n_anchors=jax.lax.psum(res.n_anchors, "ref"),

@@ -74,6 +74,7 @@ class GenomeIndex:
     ctab_k: int               # tuple-count table k (reference default 8)
     ctab: np.ndarray          # int32 [4^ctab_k] genome k-mer counts
     suffix_array: Optional[np.ndarray] = None  # full SA (tools / --sa parity)
+    bucket_starts: Optional[np.ndarray] = None  # int32 [4^k+1] direct lookup
 
     @property
     def glen(self) -> int:
@@ -96,12 +97,16 @@ class GenomeIndex:
             suffix_array=(self.suffix_array
                           if self.suffix_array is not None
                           else np.zeros(0, dtype=np.int32)),
+            bucket_starts=(self.bucket_starts
+                           if self.bucket_starts is not None
+                           else np.zeros(0, dtype=np.int32)),
         )
 
     @staticmethod
     def load(path: str) -> "GenomeIndex":
         z = np.load(path, allow_pickle=False)
         sa = z["suffix_array"]
+        bs = z["bucket_starts"] if "bucket_starts" in z.files else np.zeros(0)
         return GenomeIndex(
             genome=z["genome"],
             seqdb=SeqDB(
@@ -116,6 +121,7 @@ class GenomeIndex:
             ctab_k=int(z["ctab_k"]),
             ctab=z["ctab"],
             suffix_array=sa if len(sa) else None,
+            bucket_starts=bs if len(bs) else None,
         )
 
 
@@ -155,6 +161,21 @@ def build_kmer_index(genome: np.ndarray, k: int):
     return keys_sorted, pos_sorted
 
 
+def build_bucket_starts(keys_sorted: np.ndarray, k: int) -> np.ndarray:
+    """Direct lookup table: bucket_starts[key] .. bucket_starts[key+1) is
+    the pos_sorted range whose k-mer equals key.  The device-native form of
+    the reference's SA prefix lookup table (BuildLookupTable,
+    Blasr.cpp:1101), sized 4^k+1 (k <= 13 keeps it <= 256 MiB int32).
+    Replaces the whole binary search with two gathers."""
+    nb = 1 << (2 * k)
+    counts = np.bincount(keys_sorted.astype(np.int64), minlength=nb)
+    starts = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    if len(keys_sorted) < 2**31:
+        return starts.astype(np.int32)
+    return starts
+
+
 def build_ctab(genome: np.ndarray, ctab_k: int = 8) -> np.ndarray:
     """Genome k-mer frequency table (reference TupleCountTable,
     Blasr.cpp:1136-1147; default k=8) for anchor P-value weighting."""
@@ -176,4 +197,6 @@ def build_genome_index(
     if with_suffix_array:
         from blasr_tpu.index.suffix_array import build_suffix_array
         sa = build_suffix_array(genome)
-    return GenomeIndex(genome, seqdb, k, keys_sorted, pos_sorted, ctab_k, ctab, sa)
+    bs = build_bucket_starts(keys_sorted, k) if k <= 13 else None
+    return GenomeIndex(genome, seqdb, k, keys_sorted, pos_sorted, ctab_k,
+                       ctab, sa, bs)

@@ -74,6 +74,7 @@ def find_anchors(
     min_match: int,
     max_anchors_per_pos: int,
     max_lcp: int = 0,
+    bucket_starts: jnp.ndarray = None,  # int32 [4^k+1] direct lookup table
 ) -> Anchors:
     """See module docstring.  Anchor significance: an anchor whose seed
     k-mer occurs n times in an M-position index and extends to length l
@@ -84,9 +85,16 @@ def find_anchors(
     O = occ_per_pos
 
     keys, kvalid = read_kmer_keys(reads, read_len, k)
-    flatk = keys.reshape(-1)
-    lo = jnp.searchsorted(keys_sorted, flatk, side="left").reshape(B, L)
-    hi = jnp.searchsorted(keys_sorted, flatk, side="right").reshape(B, L)
+    if bucket_starts is not None:
+        # direct lookup table: 2 gathers replace the binary search
+        # (device-native BuildLookupTable with p == k, Blasr.cpp:1101)
+        flatk = keys.reshape(-1).astype(jnp.int32)
+        lo = jnp.take(bucket_starts, flatk).reshape(B, L).astype(jnp.int32)
+        hi = jnp.take(bucket_starts, flatk + 1).reshape(B, L).astype(jnp.int32)
+    else:
+        flatk = keys.reshape(-1)
+        lo = jnp.searchsorted(keys_sorted, flatk, side="left").reshape(B, L)
+        hi = jnp.searchsorted(keys_sorted, flatk, side="right").reshape(B, L)
     nocc = (hi - lo).astype(jnp.int32)
     # maxAnchorsPerPosition: skip over-abundant seeds entirely
     # (AnchorParameters, RegisterBlasrOptions.h:104-106)

@@ -1,0 +1,80 @@
+"""Native (C++) components, loaded via ctypes.
+
+Build: ``make -C blasr_tpu/native`` (or automatic on first use).
+Components:
+  * sais.cpp — O(n) SA-IS suffix-array construction (index build path;
+    replaces the reference's Larsson-Sadakane, utils/SAWriter.cpp:201-235).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libblasr_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", os.path.join(_DIR, "sais.cpp"), "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO)
+                < os.path.getmtime(os.path.join(_DIR, "sais.cpp"))):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            lib.sais_u8.restype = ctypes.c_int
+            lib.sais_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            _lib = lib
+            return _lib
+        except OSError:
+            _build_failed = True
+            return None
+
+
+def sais_native(codes: np.ndarray) -> Optional[np.ndarray]:
+    """Suffix array via native SA-IS; None if the extension is unavailable.
+    codes: uint8 array with values < 255 (internally 1-shifted)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(codes, dtype=np.uint8) + 1
+    n = len(s)
+    sa = np.empty(n, dtype=np.int64)
+    rc = lib.sais_u8(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        return None
+    if n < 2**31:
+        return sa.astype(np.int32)
+    return sa

@@ -1,0 +1,150 @@
+// SA-IS suffix array construction (induced sorting), C++17.
+//
+// Native index-build path for blasr_tpu: the reference builds suffix
+// arrays with Larsson-Sadakane (utils/SAWriter.cpp:201-235, O(n log n));
+// SA-IS is O(n) and is the modern standard for this artifact.  Written
+// from the published algorithm (Nong, Zhang & Chan 2009), not ported from
+// any existing implementation.
+//
+// Exposed C ABI:
+//   int sais_u8(const uint8_t* s, int64_t n, int64_t* sa)
+// Returns 0 on success.  `sa` must have space for n entries.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+template <typename SIdx>
+void get_counts(const SIdx* s, int64_t n, int64_t k, std::vector<int64_t>& cnt) {
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (int64_t i = 0; i < n; i++) cnt[s[i]]++;
+}
+
+void get_buckets(const std::vector<int64_t>& cnt, std::vector<int64_t>& bkt,
+                 int64_t k, bool end) {
+    int64_t sum = 0;
+    for (int64_t i = 0; i < k; i++) {
+        sum += cnt[i];
+        bkt[i] = end ? sum : sum - cnt[i];
+    }
+}
+
+// core recursive SA-IS over an integer string s[0..n-1] with alphabet size k
+template <typename SIdx>
+void sais_core(const SIdx* s, int64_t* sa, int64_t n, int64_t k) {
+    if (n == 0) return;
+    if (n == 1) { sa[0] = 0; return; }
+
+    std::vector<bool> is_s(n);  // true if suffix i is S-type
+    is_s[n - 1] = true;
+    for (int64_t i = n - 2; i >= 0; i--)
+        is_s[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && is_s[i + 1]);
+    auto is_lms = [&](int64_t i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
+
+    std::vector<int64_t> cnt(k), bkt(k);
+    get_counts(s, n, k, cnt);
+
+    auto induce = [&](void) {
+        // induce L from placed LMS/S
+        get_buckets(cnt, bkt, k, false);
+        for (int64_t i = 0; i < n; i++) {
+            int64_t j = sa[i] - 1;
+            if (sa[i] > 0 && !is_s[j]) sa[bkt[s[j]]++] = j;
+        }
+        // induce S
+        get_buckets(cnt, bkt, k, true);
+        for (int64_t i = n - 1; i >= 0; i--) {
+            int64_t j = sa[i] - 1;
+            if (sa[i] > 0 && is_s[j]) sa[--bkt[s[j]]] = j;
+        }
+    };
+
+    // step 1: place LMS suffixes at bucket ends (unsorted), induce
+    std::fill(sa, sa + n, -1);
+    get_buckets(cnt, bkt, k, true);
+    for (int64_t i = n - 1; i >= 1; i--)
+        if (is_lms(i)) sa[--bkt[s[i]]] = i;
+    // the sentinel-free formulation: treat position n-1 as the smallest
+    // suffix only if it is LMS (handled by loop); standard fix: ensure
+    // virtual sentinel via caller appending 0 (we require s[n-1] to be the
+    // unique minimum, enforced by the wrapper below).
+    induce();
+
+    // step 2: compact sorted LMS suffixes, name LMS substrings
+    int64_t n_lms = 0;
+    for (int64_t i = 0; i < n; i++)
+        if (sa[i] >= 0 && is_lms(sa[i])) sa[n_lms++] = sa[i];
+    std::fill(sa + n_lms, sa + n, -1);
+    int64_t name = 0, prev = -1;
+    for (int64_t i = 0; i < n_lms; i++) {
+        int64_t pos = sa[i];
+        bool diff = false;
+        if (prev < 0) diff = true;
+        else {
+            for (int64_t d = 0; d < n; d++) {
+                int64_t a = pos + d, b = prev + d;
+                if (a == n || b == n) { diff = (a == n) != (b == n); break; }
+                if (s[a] != s[b] || is_s[a] != is_s[b]) { diff = true; break; }
+                if (d > 0 && (is_lms(a) || is_lms(b))) {
+                    diff = !(is_lms(a) && is_lms(b));
+                    break;
+                }
+            }
+        }
+        if (diff) { name++; prev = pos; }
+        sa[n_lms + pos / 2] = name - 1;
+    }
+    std::vector<int64_t> s1(n_lms), lms_pos(n_lms);
+    {
+        int64_t j = 0;
+        for (int64_t i = 1; i < n; i++)
+            if (is_lms(i)) lms_pos[j++] = i;
+        j = 0;
+        for (int64_t i = n_lms; i < n; i++)
+            if (sa[i] >= 0) s1[j++] = sa[i];
+    }
+
+    // step 3: sort LMS order (recurse if names not unique)
+    std::vector<int64_t> sa1(n_lms);
+    if (name < n_lms) {
+        sais_core<int64_t>(s1.data(), sa1.data(), n_lms, name);
+    } else {
+        for (int64_t i = 0; i < n_lms; i++) sa1[s1[i]] = i;
+    }
+
+    // step 4: place LMS in final order, induce again
+    std::fill(sa, sa + n, -1);
+    get_buckets(cnt, bkt, k, true);
+    for (int64_t i = n_lms - 1; i >= 0; i--) {
+        int64_t j = lms_pos[sa1[i]];
+        sa[--bkt[s[j]]] = j;
+    }
+    induce();
+}
+
+}  // namespace
+
+extern "C" {
+
+// s: byte string; the wrapper appends a unique 0 sentinel internally, so
+// callers pass values in [1, 255].  sa receives n entries.
+int sais_u8(const uint8_t* s, int64_t n, int64_t* sa) {
+    if (n < 0) return 1;
+    if (n == 0) return 0;
+    // append sentinel: build shifted copy with s'[i] = s[i] (must be >=1),
+    // s'[n] = 0
+    std::vector<int64_t> tmp(n + 1);
+    for (int64_t i = 0; i < n; i++) {
+        if (s[i] == 0) return 2;  // caller must 1-shift the alphabet
+        tmp[i] = s[i];
+    }
+    tmp[n] = 0;
+    std::vector<int64_t> sa_full(n + 1);
+    sais_core<int64_t>(tmp.data(), sa_full.data(), n + 1, 256);
+    // drop the sentinel suffix (sorts first)
+    std::memcpy(sa, sa_full.data() + 1, sizeof(int64_t) * n);
+    return 0;
+}
+}

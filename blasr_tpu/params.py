@@ -221,6 +221,8 @@ class ShapeConfig:
     anchor_ext: int = 36          # max exact-match extension beyond k measured
     band_width: int = 128         # banded-DP band (lane-aligned)
     n_candidates: int = 10        # candidate intervals refined per read
+    dp_cands: int = 4             # candidates per read that get banded DP
+    #                               (top-N across the batch by chain weight)
     window_pad: float = 0.35      # genome window = bucket*(1+window_pad)
 
     def bucket_for(self, length: int) -> int:

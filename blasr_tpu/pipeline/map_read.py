@@ -38,6 +38,7 @@ class DeviceIndex(NamedTuple):
     contig_starts: jnp.ndarray  # int32 [n_contigs]
     contig_ends: jnp.ndarray    # int32 [n_contigs]
     k: int
+    bucket_starts: Optional[jnp.ndarray] = None  # int32 [4^k+1] direct LUT
 
     @staticmethod
     def from_host(gi: GenomeIndex) -> "DeviceIndex":
@@ -54,6 +55,8 @@ class DeviceIndex(NamedTuple):
             contig_ends=jnp.asarray(
                 gi.seqdb.starts + gi.seqdb.lengths, dtype=jnp.int32) + 1,
             k=gi.k,
+            bucket_starts=(jnp.asarray(gi.bucket_starts)
+                           if gi.bucket_starts is not None else None),
         )
 
 
@@ -71,7 +74,8 @@ class BatchResult(NamedTuple):
     n_mismatch: jnp.ndarray
     n_ins: jnp.ndarray
     n_del: jnp.ndarray
-    ops: jnp.ndarray        # uint8 [2B, C, T] end-first op string
+    ops: jnp.ndarray        # uint8 [N_dp, T] end-first op strings (compacted)
+    dp_slot: jnp.ndarray    # int32 [2B, C] row into ops, -1 if not aligned
     chain_score: jnp.ndarray   # float32 [2B, C] anchor-chain weight
     chain_anchors: jnp.ndarray  # int32 [2B, C]
     n_anchors: jnp.ndarray     # int32 [2B] anchors found on this strand
@@ -133,7 +137,7 @@ def _band_offsets(mq, mt, ml, qa, qb, ws, L, W, w_b):
     jax.jit,
     static_argnames=("cfg_k", "L", "W", "w_b", "C", "A", "O", "E", "T",
                      "max_chain", "min_match", "max_anchors_per_pos",
-                     "max_lcp", "indel_rate"),
+                     "max_lcp", "indel_rate", "C_dp", "use_pallas"),
 )
 def map_batch(
     index: DeviceIndex,
@@ -146,7 +150,7 @@ def map_batch(
     *,
     cfg_k: int, L: int, W: int, w_b: int, C: int, A: int, O: int, E: int,
     T: int, max_chain: int, min_match: int, max_anchors_per_pos: int,
-    max_lcp: int, indel_rate: float,
+    max_lcp: int, indel_rate: float, C_dp: int = 0, use_pallas: bool = False,
 ) -> BatchResult:
     B = reads.shape[0]
     G = index.genome.shape[0]
@@ -159,7 +163,7 @@ def map_batch(
         index.genome, index.keys_sorted, index.pos_sorted, reads2, rlen2,
         k=cfg_k, occ_per_pos=O, max_anchors=A, anchor_ext=E,
         min_match=min_match, max_anchors_per_pos=max_anchors_per_pos,
-        max_lcp=max_lcp)
+        max_lcp=max_lcp, bucket_starts=index.bucket_starts)
 
     cands = chain_anchors(anchors, rlen2, n_cand=C, indel_rate=indel_rate)
     # significance gate: drop candidate intervals explainable by chance
@@ -169,11 +173,23 @@ def map_batch(
         valid=cands.valid & (cands.nlogp >= jnp.float32(sig_thresh)))
     mq, mt, ml, mvalid = chain_members(cands, anchors, max_chain=max_chain)
 
-    # per-candidate genome windows, clamped to contig bounds
-    # (BlasrAlignImpl.hpp:660-698)
+    # candidate compaction: only the top N_dp candidates across the batch
+    # (by chain weight) proceed to the expensive banded DP.  The reference
+    # aligns every WeightedInterval; after the significance gate most
+    # candidate slots here are invalid, so this is pure saving.
     n2 = 2 * B
-    ts = cands.t_start.reshape(-1)
-    te = cands.t_end.reshape(-1)
+    c_dp = C_dp if C_dp > 0 else C
+    n_dp = n2 * c_dp
+    flat_valid = cands.valid.reshape(-1)
+    rank = jnp.where(flat_valid, -cands.score.reshape(-1), jnp.float32(1e30))
+    sel = jnp.argsort(rank, stable=True)[:n_dp].astype(jnp.int32)
+    sel_valid = jnp.take(flat_valid, sel)
+
+    def pick(x):
+        return jnp.take(x.reshape(n2 * C, *x.shape[2:]), sel, axis=0)
+
+    ts = pick(cands.t_start)
+    te = pick(cands.t_end)
     ci = jnp.searchsorted(index.contig_starts, ts, side="right") - 1
     ci = jnp.clip(ci, 0, index.contig_starts.shape[0] - 1)
     c_lo = index.contig_starts[ci]
@@ -186,40 +202,56 @@ def map_batch(
     gpad = jnp.concatenate(
         [index.genome, jnp.full((W,), 4, dtype=index.genome.dtype)])
     windows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(gpad, (s,), (W,)))(ws)  # [2B*C, W]
+        lambda s: jax.lax.dynamic_slice(gpad, (s,), (W,)))(ws)  # [N_dp, W]
 
     # clamp aligned target range into the window and contig
     ta = jnp.maximum(ts, c_lo) - ws
     tb = jnp.minimum(jnp.minimum(te, c_hi), ws + W) - ws
     tb = jnp.maximum(tb, ta + 1)
 
-    reads_rep = jnp.repeat(reads2, C, axis=0)               # [2B*C, L]
-    qa = cands.q_start.reshape(-1)
-    qb = jnp.maximum(cands.q_end.reshape(-1), qa + 1)
+    read_row = sel // C                                      # [N_dp]
+    reads_sel = jnp.take(reads2, read_row, axis=0)           # [N_dp, L]
+    qa = pick(cands.q_start)
+    qb = jnp.maximum(pick(cands.q_end), qa + 1)
 
+    mcw = mq.shape[-1]
     offs = jax.vmap(
         _band_offsets, in_axes=(0, 0, 0, 0, 0, 0, None, None, None),
-    )(mq.reshape(n2 * C, -1), mt.reshape(n2 * C, -1), ml.reshape(n2 * C, -1),
-      qa, qb, ws, L, W, w_b)
+    )(pick(mq.reshape(n2, C, mcw)), pick(mt.reshape(n2, C, mcw)),
+      pick(ml.reshape(n2, C, mcw)), qa, qb, ws, L, W, w_b)
 
-    res = banded_align(
-        reads_rep, windows, offs, qa, qb, ta, tb, submat,
-        gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3], w_b=w_b)
+    if use_pallas:
+        from blasr_tpu.kernels.pallas_banded import pallas_banded_align
+        res = pallas_banded_align(
+            reads_sel, windows, offs, qa, qb, ta, tb, submat,
+            gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3], w_b=w_b)
+    else:
+        res = banded_align(
+            reads_sel, windows, offs, qa, qb, ta, tb, submat,
+            gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3], w_b=w_b)
     tbk = banded_traceback(res, offs, qa, qb, ta, tb, t_max=T, w_b=w_b)
 
-    valid = cands.valid.reshape(-1) & res.valid
+    valid_sel = sel_valid & res.valid
+
+    def scatter(vals, fill=0):
+        buf = jnp.full((n2 * C,) + vals.shape[1:], fill, vals.dtype)
+        return buf.at[sel].set(vals).reshape(n2, C, *vals.shape[1:])
+
+    dp_slot = jnp.full((n2 * C,), -1, jnp.int32).at[sel].set(
+        jnp.arange(n_dp, dtype=jnp.int32)).reshape(n2, C)
     return BatchResult(
-        score=res.score.reshape(n2, C),
-        valid=valid.reshape(n2, C),
-        q_start=qa.reshape(n2, C),
-        q_end=qb.reshape(n2, C),
-        t_start=(ta + ws - 1).reshape(n2, C),  # -1: device genome sentinel
-        t_end=(tb + ws - 1).reshape(n2, C),
-        n_match=tbk.n_match.reshape(n2, C),
-        n_mismatch=tbk.n_mismatch.reshape(n2, C),
-        n_ins=tbk.n_ins.reshape(n2, C),
-        n_del=tbk.n_del.reshape(n2, C),
-        ops=tbk.ops.reshape(n2, C, -1),
+        score=scatter(res.score, 1e30),
+        valid=scatter(valid_sel, False),
+        q_start=scatter(qa),
+        q_end=scatter(qb),
+        t_start=scatter(ta + ws - 1),  # -1: device genome sentinel
+        t_end=scatter(tb + ws - 1),
+        n_match=scatter(tbk.n_match),
+        n_mismatch=scatter(tbk.n_mismatch),
+        n_ins=scatter(tbk.n_ins),
+        n_del=scatter(tbk.n_del),
+        ops=tbk.ops,
+        dp_slot=dp_slot,
         chain_score=cands.score.reshape(n2, C),
         chain_anchors=cands.n_anchors.reshape(n2, C),
         n_anchors=anchors.n_total,
@@ -323,11 +355,14 @@ class Mapper:
     CIGAR assembly, strand flips)."""
 
     def __init__(self, gi: GenomeIndex, params: MappingParams,
-                 cfg: Optional[ShapeConfig] = None):
+                 cfg: Optional[ShapeConfig] = None, metrics=None):
+        from blasr_tpu.pipeline.metrics import MappingMetrics
         self.gi = gi
         self.params = params.make_sane()
         self.cfg = cfg or ShapeConfig()
+        self.metrics = metrics or MappingMetrics()
         self.dev = DeviceIndex.from_host(gi)
+        self.use_pallas = jax.default_backend() != "cpu"
         m = np.asarray(self.params.score_matrix, dtype=np.float32).reshape(25)
         self.submat = jnp.asarray(m)
         p = self.params
@@ -363,18 +398,27 @@ class Mapper:
             # E-value-style significance: chain surprise must exceed
             # log(#possible placements) = log(2 * G * L)
             sig = float(np.log(2.0 * max(self.gi.glen, 2) * L))
-            res = map_batch(
-                self.dev, jnp.asarray(arr), jnp.asarray(lens),
-                self.submat, self.gap_costs, np.float32(sig),
-                cfg_k=self.gi.k, L=L, W=W, w_b=cfg.band_width,
-                C=cfg.n_candidates, A=cfg.max_anchors, O=cfg.occ_per_pos,
-                E=cfg.anchor_ext, T=T, max_chain=cfg.max_anchors,
-                min_match=p.min_match_length,
-                max_anchors_per_pos=p.max_anchors_per_position,
-                max_lcp=p.max_match_length, indel_rate=p.indel_rate)
-            res = jax.tree.map(np.asarray, res)
-            for i, r in enumerate(group):
-                out.append(self._collect(res, i, B, r, int(lens[i])))
+            with self.metrics.clock("mapToGenome"):
+                res = map_batch(
+                    self.dev, jnp.asarray(arr), jnp.asarray(lens),
+                    self.submat, self.gap_costs, np.float32(sig),
+                    cfg_k=self.gi.k, L=L, W=W, w_b=cfg.band_width,
+                    C=cfg.n_candidates, A=cfg.max_anchors, O=cfg.occ_per_pos,
+                    E=cfg.anchor_ext, T=T, max_chain=cfg.max_anchors,
+                    min_match=p.min_match_length,
+                    max_anchors_per_pos=p.max_anchors_per_position,
+                    max_lcp=p.max_match_length, indel_rate=p.indel_rate,
+                    C_dp=cfg.dp_cands, use_pallas=self.use_pallas)
+                res = jax.tree.map(np.asarray, res)
+            with self.metrics.clock("collectAlignments"):
+                for i, r in enumerate(group):
+                    out.append(self._collect(res, i, B, r, int(lens[i])))
+            self.metrics.add("numReads", len(group))
+            self.metrics.add("totalAnchors", int(res.n_anchors.sum()))
+            self.metrics.add("totalCandidates", int(res.valid.sum()))
+            self.metrics.add(
+                "cells", int((res.q_end - res.q_start)[res.valid].sum())
+                * cfg.band_width)
         return out
 
     def _collect(self, res: BatchResult, i: int, B: int, rec: FastaRecord,
@@ -394,7 +438,10 @@ class Mapper:
                 lo, hi = self.gi.seqdb.contig_bounds(ci)
                 if te > hi:  # window crossed a contig boundary; drop
                     continue
-                cigar = ops_to_cigar(res.ops[row, c])
+                slot = int(res.dp_slot[row, c])
+                if slot < 0:
+                    continue
+                cigar = ops_to_cigar(res.ops[slot])
                 if not p.allow_adjacent_indels:
                     cigar = merge_adjacent_indels(cigar)
                 if strand == 0:
