@@ -160,7 +160,14 @@ def run(argv: Optional[List[str]] = None) -> int:
     reads = reads[params.start_read::max(1, params.stride)]
 
     mapper = Mapper(gi, params)
-    per_read = mapper.map_reads(reads)
+    if params.concordant:
+        from blasr_tpu.pipeline.zmw import map_concordant
+        per_read = map_concordant(mapper, reads, params)
+    elif params.use_ccs:
+        from blasr_tpu.pipeline.zmw import map_ccs
+        per_read = map_ccs(mapper, reads, params)
+    else:
+        per_read = mapper.map_reads(reads)
 
     cmdline = " ".join(argv or sys.argv[1:])
     unaligned_f = open(args.unaligned, "w") if args.unaligned else None

@@ -176,6 +176,25 @@ def build_bucket_starts(keys_sorted: np.ndarray, k: int) -> np.ndarray:
     return starts
 
 
+def build_packed_words(genome: np.ndarray):
+    """(gwords, gnwords) uint32 [G]: gwords[t] packs codes of
+    genome[t..t+15] LSB-first (2 bits/base); gnwords has 11 in the bit
+    pair of every non-ACGT base (or past-the-end position).  Used by the
+    anchor kernel to extend seed matches 16 bases per XOR+ctz instead of
+    byte-at-a-time gathers."""
+    g = np.asarray(genome)
+    n = len(g)
+    gw = np.zeros(n, dtype=np.uint64)
+    gn = np.zeros(n, dtype=np.uint64)
+    for j in range(16):
+        shifted = np.full(n, 4, dtype=np.int64)
+        shifted[: n - j] = g[j:]
+        gw |= ((shifted.astype(np.uint64) & 3) << np.uint64(2 * j))
+        gn |= (np.where(shifted >= 4, np.uint64(3), np.uint64(0))
+               << np.uint64(2 * j))
+    return gw.astype(np.uint32), gn.astype(np.uint32)
+
+
 def build_ctab(genome: np.ndarray, ctab_k: int = 8) -> np.ndarray:
     """Genome k-mer frequency table (reference TupleCountTable,
     Blasr.cpp:1136-1147; default k=8) for anchor P-value weighting."""

@@ -75,6 +75,8 @@ def find_anchors(
     max_anchors_per_pos: int,
     max_lcp: int = 0,
     bucket_starts: jnp.ndarray = None,  # int32 [4^k+1] direct lookup table
+    gwords: jnp.ndarray = None,   # uint32 [G] packed 16-base genome words
+    gnwords: jnp.ndarray = None,  # uint32 [G] non-ACGT bit pairs
 ) -> Anchors:
     """See module docstring.  Anchor significance: an anchor whose seed
     k-mer occurs n times in an M-position index and extends to length l
@@ -118,20 +120,56 @@ def find_anchors(
     contained = (q > 0) & (t > 0) & (gprev == rprev) & (rprev < 4)
     cand_valid &= ~contained
 
-    # forward extension: compare genome[t+k+e] with read[q+k+e]
+    # forward extension: compare genome[t+k..] with read[q+k..]
     E = anchor_ext
-    e = jnp.arange(E, dtype=jnp.int32)
-    gidx = t[..., None] + k + e                              # [B, L, O, E]
-    gext = jnp.take(genome, jnp.clip(gidx, 0, G - 1)).astype(jnp.int32)
-    gext = jnp.where(gidx < G, gext, 4)
-    # read extension window: rext[b, i, e] = reads[b, i + k + e]
-    pad = jnp.full((B, k + E), 4, dtype=jnp.int8)
-    rpad = jnp.concatenate([reads, pad], axis=1)
-    ridx = jnp.arange(L)[:, None] + k + e[None, :]           # [L, E]
-    rext = rpad[:, ridx].astype(jnp.int32)                   # [B, L, E]
-    m = (gext == rext[:, :, None, :]) & (rext[:, :, None, :] < 4)
-    run = jnp.cumprod(m.astype(jnp.int32), axis=-1)
-    length = k + jnp.sum(run, axis=-1).astype(jnp.int32)     # [B, L, O]
+    if gwords is not None:
+        # word path: 16 bases per XOR + count-trailing-zeros, 2 gathers per
+        # word instead of 16 byte gathers
+        rw = jnp.zeros((B, L), dtype=jnp.uint32)
+        rn = jnp.zeros((B, L), dtype=jnp.uint32)
+        r32 = reads.astype(jnp.int32)
+        for j16 in range(16):
+            shifted = jnp.concatenate(
+                [r32[:, j16:], jnp.full((B, j16), 4, jnp.int32)], axis=1)
+            rw = rw | ((shifted & 3).astype(jnp.uint32) << (2 * j16))
+            rn = rn | (jnp.where(shifted >= 4, jnp.uint32(3),
+                                 jnp.uint32(0)) << (2 * j16))
+        n_words = -(-E // 16)
+        ext = jnp.zeros((B, L, O), dtype=jnp.int32)
+        full_prev = jnp.ones((B, L, O), dtype=jnp.int32)
+        allN = jnp.uint32(0xFFFFFFFF)
+        for j in range(n_words):
+            off = k + 16 * j
+            gidx = jnp.clip(t + off, 0, G - 1)
+            gw_j = jnp.take(gwords, gidx)
+            gn_j = jnp.take(gnwords, gidx)
+            gn_j = jnp.where(t + off < G, gn_j, allN)
+            rw_sh = jnp.concatenate(
+                [rw[:, off:], jnp.zeros((B, min(off, L)), jnp.uint32)],
+                axis=1)[:, :L]
+            rn_sh = jnp.concatenate(
+                [rn[:, off:], jnp.full((B, min(off, L)), allN)],
+                axis=1)[:, :L]
+            diff = (gw_j ^ rw_sh[:, :, None]) | gn_j | rn_sh[:, :, None]
+            lsb = diff & (~diff + jnp.uint32(1))
+            tz = jax.lax.population_count(lsb - jnp.uint32(1))
+            mlen = (tz >> 1).astype(jnp.int32)
+            ext = ext + mlen * full_prev
+            full_prev = full_prev * (mlen == 16).astype(jnp.int32)
+        length = k + jnp.minimum(ext, E)
+    else:
+        e = jnp.arange(E, dtype=jnp.int32)
+        gidx = t[..., None] + k + e                          # [B, L, O, E]
+        gext = jnp.take(genome, jnp.clip(gidx, 0, G - 1)).astype(jnp.int32)
+        gext = jnp.where(gidx < G, gext, 4)
+        # read extension window: rext[b, i, e] = reads[b, i + k + e]
+        pad = jnp.full((B, k + E), 4, dtype=jnp.int8)
+        rpad = jnp.concatenate([reads, pad], axis=1)
+        ridx = jnp.arange(L)[:, None] + k + e[None, :]       # [L, E]
+        rext = rpad[:, ridx].astype(jnp.int32)               # [B, L, E]
+        m = (gext == rext[:, :, None, :]) & (rext[:, :, None, :] < 4)
+        run = jnp.cumprod(m.astype(jnp.int32), axis=-1)
+        length = k + jnp.sum(run, axis=-1).astype(jnp.int32)  # [B, L, O]
     if max_lcp > 0:
         length = jnp.minimum(length, max_lcp)
     cand_valid &= length >= min_match

@@ -39,6 +39,8 @@ class DeviceIndex(NamedTuple):
     contig_ends: jnp.ndarray    # int32 [n_contigs]
     k: int
     bucket_starts: Optional[jnp.ndarray] = None  # int32 [4^k+1] direct LUT
+    gwords: Optional[jnp.ndarray] = None   # uint32 [G] packed 16-base words
+    gnwords: Optional[jnp.ndarray] = None  # uint32 [G] non-ACGT bit pairs
 
     @staticmethod
     def from_host(gi: GenomeIndex) -> "DeviceIndex":
@@ -46,9 +48,12 @@ class DeviceIndex(NamedTuple):
         # the banded DP needs its boundary cell at ta-1 to be addressable
         # even for alignments starting at the very first contig base.
         # map_batch subtracts the offset from its outputs.
+        from blasr_tpu.index.genome import build_packed_words
         sentinel = np.full(1, 4, dtype=gi.genome.dtype)
+        gsent = np.concatenate([sentinel, gi.genome])
+        gw, gn = build_packed_words(gsent)
         return DeviceIndex(
-            genome=jnp.asarray(np.concatenate([sentinel, gi.genome])),
+            genome=jnp.asarray(gsent),
             keys_sorted=jnp.asarray(gi.keys_sorted),
             pos_sorted=jnp.asarray(gi.pos_sorted) + 1,
             contig_starts=jnp.asarray(gi.seqdb.starts, dtype=jnp.int32) + 1,
@@ -57,6 +62,8 @@ class DeviceIndex(NamedTuple):
             k=gi.k,
             bucket_starts=(jnp.asarray(gi.bucket_starts)
                            if gi.bucket_starts is not None else None),
+            gwords=jnp.asarray(gw),
+            gnwords=jnp.asarray(gn),
         )
 
 
@@ -74,7 +81,7 @@ class BatchResult(NamedTuple):
     n_mismatch: jnp.ndarray
     n_ins: jnp.ndarray
     n_del: jnp.ndarray
-    ops: jnp.ndarray        # uint8 [N_dp, T] end-first op strings (compacted)
+    ops: jnp.ndarray        # uint8 [N_dp, T/4] 2-bit-packed end-first ops
     dp_slot: jnp.ndarray    # int32 [2B, C] row into ops, -1 if not aligned
     chain_score: jnp.ndarray   # float32 [2B, C] anchor-chain weight
     chain_anchors: jnp.ndarray  # int32 [2B, C]
@@ -122,14 +129,12 @@ def _band_offsets(mq, mt, ml, qa, qb, ws, L, W, w_b):
                   jnp.where(inside, t0 + (r - q0), lin)))
     center = center - ws  # window coordinates
     off = jnp.clip(center - w_b // 2, 0, W - w_b)
-    # monotone nondecreasing, slope-limited so successive bands overlap
+    # monotone nondecreasing, slope-limited so successive bands overlap;
+    # the recurrence o'[r] = min(o[r], o'[r-1] + smax) over a monotone o
+    # unrolls to the closed form smax*r + cummin(o - smax*r) (exact ints)
     off = jax.lax.cummax(off)
     smax = w_b - 2
-
-    def clip_step(prev, o):
-        o2 = jnp.minimum(jnp.maximum(o, prev), prev + smax)
-        return o2, o2
-    _, off = jax.lax.scan(clip_step, off[0], off)
+    off = smax * r + jax.lax.cummin(off - smax * r)
     return off
 
 
@@ -163,7 +168,8 @@ def map_batch(
         index.genome, index.keys_sorted, index.pos_sorted, reads2, rlen2,
         k=cfg_k, occ_per_pos=O, max_anchors=A, anchor_ext=E,
         min_match=min_match, max_anchors_per_pos=max_anchors_per_pos,
-        max_lcp=max_lcp, bucket_starts=index.bucket_starts)
+        max_lcp=max_lcp, bucket_starts=index.bucket_starts,
+        gwords=index.gwords, gnwords=index.gnwords)
 
     cands = chain_anchors(anchors, rlen2, n_cand=C, indel_rate=indel_rate)
     # significance gate: drop candidate intervals explainable by chance
@@ -233,6 +239,13 @@ def map_batch(
 
     valid_sel = sel_valid & res.valid
 
+    # pack ops to 2 bits (M/I/D/stop; mismatch folds into M — the host
+    # re-derives =/X from sequences when needed): 4x smaller transfer
+    ops2 = jnp.where(tbk.ops == 4, jnp.uint8(1), tbk.ops)
+    o4 = ops2.reshape(ops2.shape[0], -1, 4).astype(jnp.uint32)
+    packed = (o4[:, :, 0] | (o4[:, :, 1] << 2) | (o4[:, :, 2] << 4)
+              | (o4[:, :, 3] << 6)).astype(jnp.uint8)
+
     def scatter(vals, fill=0):
         buf = jnp.full((n2 * C,) + vals.shape[1:], fill, vals.dtype)
         return buf.at[sel].set(vals).reshape(n2, C, *vals.shape[1:])
@@ -250,7 +263,7 @@ def map_batch(
         n_mismatch=scatter(tbk.n_mismatch),
         n_ins=scatter(tbk.n_ins),
         n_del=scatter(tbk.n_del),
-        ops=tbk.ops,
+        ops=packed,
         dp_slot=dp_slot,
         chain_score=cands.score.reshape(n2, C),
         chain_anchors=cands.n_anchors.reshape(n2, C),
@@ -299,17 +312,61 @@ class Alignment:
         return (self.qend - self.qstart) * 128
 
 
-def ops_to_cigar(ops_rev: np.ndarray) -> List:
-    """ops (end-first) -> run-length [(op, n), ...] in alignment order.
-    op codes: 1 '=', 2 'I', 3 'D', 4 'X'."""
-    ops = ops_rev[ops_rev > 0][::-1]
+def unpack_ops(packed: np.ndarray) -> np.ndarray:
+    """2-bit packed ops -> per-op array (still end-first, 0 = stop)."""
+    p = packed.astype(np.uint16)
+    out = np.empty(p.shape[0] * 4, dtype=np.uint8)
+    out[0::4] = p & 3
+    out[1::4] = (p >> 2) & 3
+    out[2::4] = (p >> 4) & 3
+    out[3::4] = (p >> 6) & 3
+    return out
+
+
+def ops_to_cigar(packed_rev: np.ndarray) -> List:
+    """packed ops (end-first) -> run-length [(op, n), ...] in alignment
+    order.  op codes: 1 'M', 2 'I', 3 'D'."""
+    ops = unpack_ops(packed_rev)
+    ops = ops[ops > 0][::-1]
     if len(ops) == 0:
         return []
-    sym = {1: "=", 2: "I", 3: "D", 4: "X"}
+    sym = {1: "M", 2: "I", 3: "D"}
     change = np.nonzero(np.diff(ops))[0]
     starts = np.concatenate([[0], change + 1])
     ends = np.concatenate([change + 1, [len(ops)]])
     return [(sym[int(ops[s])], int(e - s)) for s, e in zip(starts, ends)]
+
+
+def split_match_runs(cigar: List, query: np.ndarray,
+                     target: np.ndarray) -> List:
+    """Split 'M' runs into '='/'X' by sequence comparison (cigarUseSeqMatch,
+    RegisterBlasrOptions.h --cigarUseSeqMatch).  query/target: the aligned
+    subsequences (strand-local query [qa:qb], target [ts:te])."""
+    out: List = []
+    qi = ti = 0
+    for op, n in cigar:
+        if op == "M":
+            eq = query[qi:qi + n] == target[ti:ti + n]
+            start = 0
+            for j in range(1, n + 1):
+                if j == n or eq[j] != eq[start]:
+                    sym = "=" if eq[start] else "X"
+                    if out and out[-1][0] == sym:
+                        out[-1] = (sym, out[-1][1] + j - start)
+                    else:
+                        out.append((sym, j - start))
+                    start = j
+            qi += n
+            ti += n
+        else:
+            out.append((op, n))
+            if op in "I=X":
+                qi += n
+            if op in "D":
+                ti += n
+            if op in "=X":
+                ti += n
+    return out
 
 
 def merge_adjacent_indels(cigar: List) -> List:
@@ -386,6 +443,9 @@ class Mapper:
         W = cfg.window_len(L)
         T = L + W
         out: List[List[Alignment]] = []
+        # phase 1: dispatch every batch (async; device queues the work)
+        sig = float(np.log(2.0 * max(self.gi.glen, 2) * L))
+        pending = []
         for base in range(0, len(recs), batch):
             group = recs[base:base + batch]
             B = batch
@@ -395,9 +455,6 @@ class Mapper:
                 n = min(len(r.seq), L)
                 arr[i, :n] = r.seq[:n]
                 lens[i] = n
-            # E-value-style significance: chain surprise must exceed
-            # log(#possible placements) = log(2 * G * L)
-            sig = float(np.log(2.0 * max(self.gi.glen, 2) * L))
             with self.metrics.clock("mapToGenome"):
                 res = map_batch(
                     self.dev, jnp.asarray(arr), jnp.asarray(lens),
@@ -409,8 +466,12 @@ class Mapper:
                     max_anchors_per_pos=p.max_anchors_per_position,
                     max_lcp=p.max_match_length, indel_rate=p.indel_rate,
                     C_dp=cfg.dp_cands, use_pallas=self.use_pallas)
-                res = jax.tree.map(np.asarray, res)
+            pending.append((group, lens, res))
+        # phase 2: collect (transfers overlap with later batches' compute)
+        for group, lens, res in pending:
+            B = batch
             with self.metrics.clock("collectAlignments"):
+                res = jax.tree.map(np.asarray, res)
                 for i, r in enumerate(group):
                     out.append(self._collect(res, i, B, r, int(lens[i])))
             self.metrics.add("numReads", len(group))
@@ -444,6 +505,13 @@ class Mapper:
                 cigar = ops_to_cigar(res.ops[slot])
                 if not p.allow_adjacent_indels:
                     cigar = merge_adjacent_indels(cigar)
+                if p.cigar_use_seq_match:
+                    from blasr_tpu.io.fasta import revcomp
+                    oq = rec.seq if strand == 0 else revcomp(rec.seq[:rlen])
+                    gs = self.gi.seqdb.chrom_to_genome(ci, tpos)
+                    cigar = split_match_runs(
+                        cigar, oq[qa:qb],
+                        self.gi.genome[gs:gs + (te - lo - tpos)])
                 if strand == 0:
                     qs, qe = qa, qb
                 else:

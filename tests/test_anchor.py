@@ -135,3 +135,41 @@ def test_anchors_sorted_by_t():
     a = run_find(genome, [read], k=8, min_match=8)
     ts = [int(a.t[0, j]) for j in range(a.q.shape[1]) if a.valid[0, j]]
     assert ts == sorted(ts)
+
+
+def test_word_extension_matches_byte_path():
+    """gwords-based extension must equal the byte-at-a-time path."""
+    import jax.numpy as jnp
+    from blasr_tpu.index.genome import build_kmer_index, build_packed_words
+    rng = np.random.default_rng(5)
+    contigs = random_genome(2000, seed=5)
+    genome, _ = concat_contigs(contigs)
+    genome[500:520] = 4  # an N block to stress N handling
+    reads = []
+    for i in range(4):
+        s = rng.integers(0, 1800)
+        r = genome[s:s + 120].copy()
+        for _ in range(3):
+            p = rng.integers(0, len(r))
+            r[p] = (r[p] + 1) % 4
+        reads.append(r)
+    keys_sorted, pos_sorted = build_kmer_index(genome, 8)
+    gw, gn = build_packed_words(genome)
+    L = 128
+    B = len(reads)
+    arr = np.full((B, L), 4, dtype=np.int8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, r in enumerate(reads):
+        arr[i, :len(r)] = r
+        lens[i] = len(r)
+    kw = dict(k=8, occ_per_pos=8, max_anchors=128, anchor_ext=36,
+              min_match=10, max_anchors_per_pos=1000)
+    a_byte = find_anchors(jnp.asarray(genome), jnp.asarray(keys_sorted),
+                          jnp.asarray(pos_sorted), jnp.asarray(arr),
+                          jnp.asarray(lens), **kw)
+    a_word = find_anchors(jnp.asarray(genome), jnp.asarray(keys_sorted),
+                          jnp.asarray(pos_sorted), jnp.asarray(arr),
+                          jnp.asarray(lens), gwords=jnp.asarray(gw),
+                          gnwords=jnp.asarray(gn), **kw)
+    for i in range(B):
+        assert anchors_to_set(a_byte, i) == anchors_to_set(a_word, i), i

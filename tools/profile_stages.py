@@ -59,7 +59,8 @@ def main():
 
     t0 = time.time()
     full = timeit("map_batch (full)", lambda: map_batch(
-        dev, reads_j, lens_j, submat, gaps, 20.0, **static))
+        dev, reads_j, lens_j, submat, gaps, 20.0, C_dp=4, use_pallas=True,
+        **static))
 
     reads2 = jnp.concatenate([reads_j, reads_j], axis=0)
     rlen2 = jnp.concatenate([lens_j, lens_j], axis=0)
@@ -67,27 +68,29 @@ def main():
         dev.genome, dev.keys_sorted, dev.pos_sorted, reads2, rlen2,
         k=12, occ_per_pos=static["O"], max_anchors=static["A"],
         anchor_ext=static["E"], min_match=12, max_anchors_per_pos=10000,
-        max_lcp=0))
+        max_lcp=0, bucket_starts=dev.bucket_starts))
     cands = timeit("chain_anchors", lambda: chain_anchors(
         anchors, rlen2, n_cand=static["C"], indel_rate=0.3))
     memb = timeit("chain_members", lambda: chain_members(
         cands, anchors, max_chain=static["A"]))
 
     # fabricate alignment inputs from candidates like map_batch does
-    n_items = 2 * B * static["C"]
+    n_items = 2 * B * 4
     rng = np.random.default_rng(0)
     windows = jnp.asarray(
         rng.integers(0, 4, (n_items, W), dtype=np.int8))
-    reads_rep = jnp.repeat(reads2, static["C"], axis=0)
+    reads_rep = jnp.repeat(reads2, static["C"], axis=0)[:n_items]
     qa = jnp.zeros(n_items, jnp.int32)
-    qb = jnp.maximum(jnp.repeat(rlen2, static["C"]), 1)
+    qb = jnp.maximum(jnp.repeat(rlen2, static["C"])[:n_items], 1)
     ta = jnp.full(n_items, 128, jnp.int32)
     tb = ta + qb  # diagonal-ish
     r = np.arange(L)
     offs = jnp.asarray(
         np.clip(128 + r[None, :] - 64, 0, W - 128).astype(np.int32)
         * np.ones((n_items, 1), np.int32))
-    res = timeit("banded_align", lambda: banded_align(
+    from blasr_tpu.kernels.pallas_banded import pallas_banded_align
+    reads_rep = reads_rep[:n_items]
+    res = timeit("pallas_banded_align", lambda: pallas_banded_align(
         reads_rep, windows, offs, qa, qb, ta, tb, submat,
         4.0, 4.0, 5.0, 5.0, w_b=128))
     tbk = timeit("banded_traceback", lambda: banded_traceback(
@@ -98,6 +101,18 @@ def main():
     host = jax.tree.map(np.asarray, full)
     print(f"{'device->host':24s} {(time.time()-t0)*1000:9.1f} ms "
           f"(ops bytes={host.ops.nbytes})")
+    # host cigar-assembly cost
+    from blasr_tpu.pipeline.map_read import ops_to_cigar, merge_adjacent_indels
+    t0 = time.time()
+    nal = 0
+    for row in range(host.dp_slot.shape[0]):
+        for c in range(host.dp_slot.shape[1]):
+            if host.valid[row, c] and host.dp_slot[row, c] >= 0:
+                cg = ops_to_cigar(host.ops[host.dp_slot[row, c]])
+                cg = merge_adjacent_indels(cg)
+                nal += 1
+    print(f"{'host cigar assembly':24s} {(time.time()-t0)*1000:9.1f} ms "
+          f"({nal} alignments)")
 
 
 if __name__ == "__main__":
