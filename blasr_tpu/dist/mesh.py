@@ -28,7 +28,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from blasr_tpu.index.genome import GenomeIndex, SeqDB, build_kmer_index
-from blasr_tpu.pipeline.map_read import BatchResult, DeviceIndex, map_batch
+from blasr_tpu.pipeline.map_read import (
+    COL_DPSLOT, COL_NANCH, COL_SCORE, COL_TE, COL_TS, COL_VALID, N_COLS,
+    DeviceIndex, PackedBatch, map_batch)
 
 
 def make_mesh(n_data: int, n_ref: int = 1, devices=None) -> Mesh:
@@ -139,48 +141,32 @@ def map_batch_ref_sharded(
         )
         res = map_batch(idx, reads_s, rlen_s, submat, gap_costs, **static)
         # global coordinates
-        res = res._replace(
-            t_start=res.t_start + off_s.astype(jnp.int32),
-            t_end=res.t_end + off_s.astype(jnp.int32))
+        off_col = jnp.zeros((N_COLS,), jnp.int32).at[COL_TS].set(1).at[
+            COL_TE].set(1) * off_s.astype(jnp.int32)
+        ints = res.ints + jnp.where(res.ints[..., COL_VALID:COL_VALID + 1] > 0,
+                                    off_col, 0)
         # gather every shard's candidates, keep global top-C by score
-        gathered = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, "ref", axis=0), res)
+        g_ints = jax.lax.all_gather(ints, "ref", axis=0)   # [R, 2B, C, N_COLS]
+        g_ops = jax.lax.all_gather(res.ops, "ref", axis=0)
 
-        def merge(field):
-            # [R, 2B, C] -> [2B, R*C]
-            return jnp.moveaxis(field, 0, 1).reshape(field.shape[1], -1)
-
-        score = merge(gathered.score)
-        valid = merge(gathered.valid)
-        key = jnp.where(valid, score, jnp.float32(1e30))
+        n_shards = g_ints.shape[0]
+        n_dp, t_len = res.ops.shape
+        # translate per-shard dp slots into rows of the concatenated ops
+        slot = g_ints[..., COL_DPSLOT]
+        slot_global = jnp.where(
+            slot >= 0,
+            slot + jnp.arange(n_shards, dtype=jnp.int32)[:, None, None] * n_dp,
+            -1)
+        g_ints = g_ints.at[..., COL_DPSLOT].set(slot_global)
+        nanch = jnp.sum(g_ints[..., COL_NANCH], axis=0)    # psum over shards
+        merged = jnp.moveaxis(g_ints, 0, 1).reshape(
+            g_ints.shape[1], n_shards * C, N_COLS)         # [2B, R*C, cols]
+        key = jnp.where(merged[..., COL_VALID] > 0,
+                        merged[..., COL_SCORE], jnp.int32(0x3FFFFFFF))
         order = jnp.argsort(key, axis=1, stable=True)[:, :C]
-
-        # ops are compacted per shard [R, N_dp, T]: translate per-shard
-        # dp slots into rows of the concatenated ops array
-        n_shards, n_dp, t_len = gathered.ops.shape
-        slot_global = gathered.dp_slot + (
-            jnp.arange(n_shards, dtype=jnp.int32)[:, None, None] * n_dp)
-        slot_global = jnp.where(gathered.dp_slot >= 0, slot_global, -1)
-        ops_all = gathered.ops.reshape(n_shards * n_dp, t_len)
-
-        out = BatchResult(
-            score=jnp.take_along_axis(score, order, 1),
-            valid=jnp.take_along_axis(valid, order, 1),
-            q_start=jnp.take_along_axis(merge(gathered.q_start), order, 1),
-            q_end=jnp.take_along_axis(merge(gathered.q_end), order, 1),
-            t_start=jnp.take_along_axis(merge(gathered.t_start), order, 1),
-            t_end=jnp.take_along_axis(merge(gathered.t_end), order, 1),
-            n_match=jnp.take_along_axis(merge(gathered.n_match), order, 1),
-            n_mismatch=jnp.take_along_axis(merge(gathered.n_mismatch), order, 1),
-            n_ins=jnp.take_along_axis(merge(gathered.n_ins), order, 1),
-            n_del=jnp.take_along_axis(merge(gathered.n_del), order, 1),
-            ops=ops_all,
-            dp_slot=jnp.take_along_axis(merge(slot_global), order, 1),
-            chain_score=jnp.take_along_axis(merge(gathered.chain_score), order, 1),
-            chain_anchors=jnp.take_along_axis(merge(gathered.chain_anchors), order, 1),
-            n_anchors=jax.lax.psum(res.n_anchors, "ref"),
-        )
-        return out
+        top = jnp.take_along_axis(merged, order[..., None], axis=1)
+        top = top.at[..., COL_NANCH].set(nanch[:, :1])
+        return PackedBatch(ints=top, ops=g_ops.reshape(n_shards * n_dp, t_len))
 
     from jax import shard_map
     fn = shard_map(

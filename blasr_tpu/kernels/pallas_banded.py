@@ -1,25 +1,34 @@
-"""Pallas TPU kernel for the guided banded affine DP.
+"""Pallas TPU kernel for the guided banded affine DP (8-way vectorized).
 
 Drop-in replacement for kernels/banded.banded_align's forward pass (same
-semantics and traceback-bit layout — see kernels/banded.py).  The XLA scan
-formulation pays ~14 ms per alignment item because vmapped dynamic slices
-lower to scalar-core gathers; here every band shift is a dynamic-offset
-VMEM vector load, which the VPU does natively.
+semantics and traceback-bit layout — see kernels/banded.py), serving the
+reference's KBandAlign / AffineKBandAlign / GuidedAlign / AffineGuidedAlign
+roles (iblasr/BlasrAlignImpl.hpp:1227-1309, BlasrUtilsImpl.hpp:620-903).
 
-Structure:
-  * grid (N, L/R): program (i, j) advances item i by R query rows; M/I/D
-    carries persist in VMEM scratch across the sequential j steps.
-  * carries sit in a 128-aligned padded scratch row; the per-row band
-    shift (s = o[r] - o[r-1], any value in [0, w_b)) is one dynamic lane
-    rotate (Mosaic only allows dynamic offsets in the sublane dim, so
-    shifts use ``pltpu.roll`` + static value slices).
-  * per-row scalars (read base, band offset) come from small SMEM blocks.
-  * the in-row deletion recurrence is a log-depth min-scan (7 shifted
-    mins) instead of a sequential lane walk.
-  * traceback bits accumulate in an int32 scratch tile and are flushed to
-    the uint8 output block once per R rows (aligned full-tile store).
-  * TPU block rule: minor block dims must equal the array's minor dims, so
-    per-item arrays carry explicit singleton dims.
+Design (v2): the VPU is 8 sublanes x 128 lanes; one grid program advances
+EIGHT alignment items together, one query row at a time, with every vector
+op an (8, 128) full-vreg op:
+
+  * The band offset path is required to advance by s in {0, 1, 2} per query
+    row (the host-side offsets builder enforces this).  Aligning row r-1's
+    band carries to row r's band is then a 3-way select between statically
+    shifted copies — no per-item dynamic rolls in the hot loop.
+  * Target bases ride in a (8, TGTW) register window refilled once per
+    64-row block by one dynamic ``pltpu.roll`` per item, then shifted with
+    the same 3-way select each row.
+  * Absolute target coordinates are carried as an (8, 128) register
+    (t_abs += s), so boundary/validity masks need no per-row scalar reads.
+  * Per-row scalars (shift code s and read base, packed as s*8+base) come
+    from one SMEM block; the only per-row scalar work is building one
+    (8, 1) vector from 8 SMEM reads.
+  * Scores use the 2-valued (match/mismatch) matrix fast path; callers
+    with a general 5x5 --scoreMatrix fall back to the XLA kernel.
+  * Final (score, state) are captured in a score*4+state combo vector and
+    min-reduced on the host side; traceback bits accumulate in an int32
+    scratch tile, flushed to uint8 once per row block.
+
+Costs are integer-valued f32 (exact < 2^24), so every compare used for
+traceback bits is bit-stable, matching kernels/banded.py exactly.
 """
 
 from __future__ import annotations
@@ -34,96 +43,124 @@ from jax.experimental.pallas import tpu as pltpu
 from blasr_tpu.kernels.banded import ST_D, ST_I, ST_M, BandedResult
 
 INF = 1e30  # python float: jnp scalars would be captured consts in pallas
-ROWS_PER_STEP = 256
+ROWS_PER_STEP = 64
+ITEMS = 8
 INTERPRET = False  # set True to run on CPU for testing
 
 
-def _min_prefix_exclusive(g: jnp.ndarray, w_b: int) -> jnp.ndarray:
-    """run_prev[w] = min(g[0..w-1]) with INF at w == 0; g: (1, w_b)."""
-    x = jnp.concatenate([jnp.full((1, 1), INF), g[:, : w_b - 1]], axis=1)
-    d = 1
-    while d < w_b:
-        shifted = jnp.concatenate(
-            [jnp.full((1, d), INF), x[:, : w_b - d]], axis=1)
-        x = jnp.minimum(x, shifted)
-        d *= 2
-    return x
+def _vec8(vals):
+    """Build an (8, 1) int32 vector from 8 scalars."""
+    return jnp.concatenate(
+        [jnp.full((1, 1), v, jnp.int32) for v in vals], axis=0)
 
 
-def _kernel(read_ref, offsets_ref, qa_ref, qb_ref, ta_ref, tb_in_ref,
-            submat_ref, gaps_ref, window_ref,
-            score_ref, state_ref, ok_ref, bits_ref,
-            mM, mI, mD, po_ref, bits_buf,
-            *, R: int, w_b: int):
+def _sr1(x, fill):
+    """out[w] = x[w-1], INF/fill at w == 0."""
+    return jnp.concatenate(
+        [jnp.full((ITEMS, 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+
+def _sl(x, n, fill):
+    """out[w] = x[w+n], fill at the right edge."""
+    return jnp.concatenate(
+        [x[:, n:], jnp.full((ITEMS, n), fill, x.dtype)], axis=1)
+
+
+def _kernel(srb_ref, off_ref, qa_ref, qb_ref, ta_ref, tb_ref, gaps_ref,
+            window_ref,
+            combo_ref, bits_ref,
+            mM_s, mI_s, mD_s, combo_s, bits_buf,
+            *, R: int, w_b: int, tgtw: int):
     j = pl.program_id(1)
-    qa = qa_ref[0, 0, 0]
-    qb = qb_ref[0, 0, 0]
-    ta = ta_ref[0, 0, 0]
-    tb = tb_in_ref[0, 0, 0]
+    wlen = window_ref.shape[2]
+
     ins_open = gaps_ref[0, 0]
     ins_ext = gaps_ref[0, 1]
     del_open = gaps_ref[0, 2]
     del_ext = gaps_ref[0, 3]
-
-    padw = mM.shape[1]
+    match = gaps_ref[0, 4]
+    mismatch = gaps_ref[0, 5]
 
     @pl.when(j == 0)
     def _():
-        mM[...] = jnp.full((1, padw), INF)
-        mI[...] = jnp.full((1, padw), INF)
-        mD[...] = jnp.full((1, padw), INF)
-        po_ref[0] = 0
-        score_ref[0, 0, 0] = INF
-        state_ref[0, 0, 0] = ST_M
-        ok_ref[0, 0, 0] = 0
+        mM_s[...] = jnp.full((ITEMS, w_b), INF)
+        mI_s[...] = jnp.full((ITEMS, w_b), INF)
+        mD_s[...] = jnp.full((ITEMS, w_b), INF)
+        combo_s[...] = jnp.full((ITEMS, w_b), INF)
 
-    w_iota_i = jax.lax.broadcasted_iota(jnp.int32, (1, w_b), 1)
-    w_iota_f = w_iota_i.astype(jnp.float32)
+    # per-block constants
+    qa_v = _vec8([qa_ref[0, 0, it] for it in range(ITEMS)])
+    qb_v = _vec8([qb_ref[0, 0, it] for it in range(ITEMS)])
+    ta_v = _vec8([ta_ref[0, 0, it] for it in range(ITEMS)])
+    tb_v = _vec8([tb_ref[0, 0, it] for it in range(ITEMS)])
 
-    wlen = window_ref.shape[2]
+    # refill the target register window, aligned at o_prev = o[0] - s[0]
+    # (each row, including the first, then shifts by its own s)
+    rows = []
+    o_prev = []
+    for it in range(ITEMS):
+        o0 = off_ref[0, 0, it, 0]
+        s0 = srb_ref[0, 0, it, 0] >> 3
+        op = o0 - s0
+        o_prev.append(op)
+        rows.append(pltpu.roll(window_ref[0, it:it + 1, :], wlen - op,
+                               axis=1)[:, 0:tgtw])
+    tgt2 = jnp.concatenate(rows, axis=0)                      # (8, tgtw)
+    t_abs = _vec8(o_prev) + jax.lax.broadcasted_iota(
+        jnp.int32, (ITEMS, w_b), 1)
 
-    def row(r2, po):
+    w_iota_f = jax.lax.broadcasted_iota(jnp.int32, (ITEMS, w_b), 1).astype(
+        jnp.float32)
+
+    def row(r2, carry):
+        mM, mI, mD, tgt2, t_abs, combo = carry
         r = j * R + r2
-        o_r = offsets_ref[0, 0, 0, r2]
-        active = (r >= qa) & (r < qb)
-        first = r == qa
-        s = jnp.where(first, 0, o_r - po)
 
-        t_abs = o_r + w_iota_i
-        bD = jnp.where(t_abs >= ta,
-                       del_open + del_ext * (t_abs - ta).astype(jnp.float32),
-                       INF)
-        bM = jnp.where(t_abs == ta - 1, 0.0, INF)
+        srb = _vec8([srb_ref[0, 0, it, r2] for it in range(ITEMS)])
+        s_v = srb >> 3
+        rb = srb & 7
+        m0 = s_v == 0
+        m1 = s_v == 1
 
-        # live carry region sits at lanes [128, 128+w_b); rolled[w] =
-        # row[w + s + 127] = band position (w + s - 1), so diag is
-        # rolled[0:w_b] and vert (band position w + s) is rolled[1:w_b+1].
-        k = padw - (s + 127)
-        rM = pltpu.roll(mM[0:1, :], k, axis=1)
-        rI = pltpu.roll(mI[0:1, :], k, axis=1)
-        rD = pltpu.roll(mD[0:1, :], k, axis=1)
-        dM, vM = rM[:, 0:w_b], rM[:, 1:w_b + 1]
-        dI, vI = rI[:, 0:w_b], rI[:, 1:w_b + 1]
-        dD = rD[:, 0:w_b]
-        # first active row: substitute the boundary profiles
-        bDp = jnp.concatenate([jnp.full((1, 1), INF), bD[:, : w_b - 1]], 1)
-        bM_diag = jnp.where(t_abs == ta, 0.0, INF)  # bM shifted to w-1
+        t_abs = t_abs + s_v
+        tgt2 = jnp.where(m0, tgt2,
+                         jnp.where(m1, pltpu.roll(tgt2, tgtw - 1, axis=1),
+                                   pltpu.roll(tgt2, tgtw - 2, axis=1)))
+        tgt = tgt2[:, 0:w_b]
+
+        def sel_d(x):
+            # diagonal predecessor: carry[w + s - 1]
+            return jnp.where(m0, _sr1(x, INF),
+                             jnp.where(m1, x, _sl(x, 1, INF)))
+
+        def sel_v(x):
+            # vertical predecessor: carry[w + s]
+            return jnp.where(m0, x,
+                             jnp.where(m1, _sl(x, 1, INF), _sl(x, 2, INF)))
+
+        dM, dI, dD = sel_d(mM), sel_d(mI), sel_d(mD)
+        vM, vI = sel_v(mM), sel_v(mI)
+
+        active = (r >= qa_v) & (r < qb_v)
+        first = r == qa_v
+
+        # boundary profiles for the virtual row qa-1
+        dta = (t_abs - ta_v).astype(jnp.float32)
+        bD = jnp.where(t_abs >= ta_v, del_open + del_ext * dta, INF)
+        bM = jnp.where(t_abs == ta_v - 1, 0.0, INF)
+        bM_diag = jnp.where(t_abs == ta_v, 0.0, INF)
+        bDp = _sr1(bD, INF)
         dM = jnp.where(first, bM_diag, dM)
         dI = jnp.where(first, INF, dI)
         dD = jnp.where(first, bDp, dD)
         vM = jnp.where(first, bM, vM)
         vI = jnp.where(first, INF, vI)
 
-        in_t = (t_abs >= ta) & (t_abs < tb)
-        in_t_i = (t_abs >= ta - 1) & (t_abs < tb)
+        in_t = (t_abs >= ta_v) & (t_abs < tb_v)
+        in_t_i = (t_abs >= ta_v - 1) & (t_abs < tb_v)
 
-        tgt = pltpu.roll(window_ref[0, 0:1, :], wlen - o_r,
-                         axis=1)[:, 0:w_b]
-        rb = read_ref[0, 0, 0, r2]
-        sub = jnp.full((1, w_b), 0.0)
-        for c in range(5):
-            sub = jnp.where(tgt == c, submat_ref[0, rb * 5 + c], sub)
         eq = (tgt == rb) & (rb < 4)
+        sub = jnp.where(eq, match, mismatch)
 
         diag_best = jnp.minimum(dM, jnp.minimum(dI, dD))
         m_src = jnp.where(dM <= diag_best, ST_M,
@@ -137,17 +174,19 @@ def _kernel(read_ref, offsets_ref, qa_ref, qb_ref, ta_ref, tb_in_ref,
 
         base = jnp.minimum(M, I)
         g = jnp.where(base < INF * 0.5, base - del_ext * w_iota_f, INF)
-        run_prev = _min_prefix_exclusive(g, w_b)
-        D = jnp.where(in_t,
-                      del_ext * w_iota_f + run_prev + (del_open - del_ext),
+        # exclusive prefix min over lanes (log-depth)
+        x = _sr1(g, INF)
+        d = 1
+        while d < w_b:
+            x = jnp.minimum(x, jnp.concatenate(
+                [jnp.full((ITEMS, d), INF), x[:, : w_b - d]], axis=1))
+            d *= 2
+        D = jnp.where(in_t, del_ext * w_iota_f + x + (del_open - del_ext),
                       INF)
         D = jnp.minimum(D, INF)
-        base_prev = jnp.concatenate(
-            [jnp.full((1, 1), INF), base[:, : w_b - 1]], 1)
+        base_prev = _sr1(base, INF)
         d_open = D >= base_prev + del_open
-        M_prev = jnp.concatenate([jnp.full((1, 1), INF), M[:, : w_b - 1]], 1)
-        I_prev = jnp.concatenate([jnp.full((1, 1), INF), I[:, : w_b - 1]], 1)
-        d_from_m = M_prev <= I_prev
+        d_from_m = _sr1(M, INF) <= _sr1(I, INF)
 
         bits = (m_src
                 | (i_open.astype(jnp.int32) << 2)
@@ -155,36 +194,39 @@ def _kernel(read_ref, offsets_ref, qa_ref, qb_ref, ta_ref, tb_in_ref,
                 | (d_from_m.astype(jnp.int32) << 4)
                 | (eq.astype(jnp.int32) << 5))
         bits = jnp.where(active, bits, 0)
-        bits_buf[pl.ds(r2, 1), :] = bits
+        bits_buf[:, pl.ds(r2, 1), :] = bits[:, None, :]
 
-        @pl.when(active)
-        def _():
-            mM[0:1, 128:128 + w_b] = M
-            mI[0:1, 128:128 + w_b] = I
-            mD[0:1, 128:128 + w_b] = D
+        # capture score*4+state at (row qb-1, column tb-1)
+        hit = (r == qb_v - 1) & (t_abs == tb_v - 1)
+        cbest = jnp.minimum(M, jnp.minimum(I, D))
+        cstate = jnp.where(M <= cbest, ST_M,
+                           jnp.where(I <= cbest, ST_I, ST_D))
+        take = hit & (cbest < INF * 0.5)
+        combo = jnp.where(take, cbest * 4.0 + cstate.astype(jnp.float32),
+                          combo)
 
-        @pl.when((r == qb - 1) & active)
-        def _():
-            wf = tb - 1 - o_r
-            okw = (wf >= 0) & (wf < w_b)
-            wfc = jnp.clip(wf, 0, w_b - 1)
-            onehot = w_iota_i == wfc
-            cM = jnp.min(jnp.where(onehot, M, INF))
-            cI = jnp.min(jnp.where(onehot, I, INF))
-            cD = jnp.min(jnp.where(onehot, D, INF))
-            cbest = jnp.minimum(cM, jnp.minimum(cI, cD))
-            cstate = jnp.where(cM <= cbest, ST_M,
-                               jnp.where(cI <= cbest, ST_I, ST_D))
-            hit = okw & (cbest < INF * 0.5)
-            score_ref[0, 0, 0] = jnp.where(hit, cbest, INF)
-            state_ref[0, 0, 0] = jnp.where(hit, cstate, jnp.int32(ST_M))
-            ok_ref[0, 0, 0] = jnp.where(hit, 1, 0)
+        mM = jnp.where(active, M, mM)
+        mI = jnp.where(active, I, mI)
+        mD = jnp.where(active, D, mD)
+        return mM, mI, mD, tgt2, t_abs, combo
 
-        return jnp.where(active, o_r, po)
+    carry0 = (mM_s[...], mI_s[...], mD_s[...], tgt2, t_abs, combo_s[...])
+    mM, mI, mD, _, _, combo = jax.lax.fori_loop(0, R, row, carry0)
+    mM_s[...] = mM
+    mI_s[...] = mI
+    mD_s[...] = mD
+    combo_s[...] = combo
+    combo_ref[0] = combo
+    bits_ref[0, 0] = bits_buf[...].astype(jnp.uint8)
 
-    po = jax.lax.fori_loop(0, R, row, po_ref[0])
-    po_ref[0] = po
-    bits_ref[0, 0, :, :] = bits_buf[...].astype(jnp.uint8)
+
+def slope_limit_offsets(offs: jnp.ndarray, w_b: int) -> jnp.ndarray:
+    """Clamp a monotone band-offset path to per-row slope in {0, 1, 2}
+    (the v2 kernel's contract).  offs: int32 [..., L]."""
+    ax = offs.ndim - 1
+    r = jnp.arange(offs.shape[ax], dtype=jnp.int32)
+    offs = jax.lax.cummax(offs, axis=ax)
+    return 2 * r + jax.lax.cummin(offs - 2 * r, axis=ax)
 
 
 @functools.partial(jax.jit, static_argnames=("w_b",))
@@ -192,82 +234,106 @@ def pallas_banded_align(
     reads, windows, offsets, qa, qb, ta, tb, submat,
     ins_open, ins_ext, del_open, del_ext, *, w_b: int = 128,
 ) -> BandedResult:
-    """Same contract as kernels.banded.banded_align (forward pass)."""
+    """Same contract as kernels.banded.banded_align (forward pass), with two
+    extra requirements: ``offsets`` must advance by 0..2 per row, and
+    ``submat`` must be two-valued (match on ACGT diagonal, one mismatch
+    value elsewhere).  Callers check the matrix and fall back to the XLA
+    kernel otherwise."""
     N, L = reads.shape
     W = windows.shape[1]
-    R = min(ROWS_PER_STEP, L)
+    R = ROWS_PER_STEP
     assert L % R == 0, (L, R)
+    assert w_b == 128, w_b
     J = L // R
-    padw = 2 * w_b + 128
+    tgtw = 2 * R + w_b + 128  # register target window (shift headroom)
+
+    n_pad = (-N) % ITEMS
+    if n_pad:
+        def padn(x, fill=0):
+            return jnp.concatenate(
+                [x, jnp.full((n_pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+        reads, windows, offsets = padn(reads, 4), padn(windows, 4), padn(offsets)
+        qa, qb, ta, tb = padn(qa), padn(qb), padn(ta), padn(tb)
+        N += n_pad
+    N8 = N // ITEMS
+
+    match = submat[0]
+    mismatch = submat[1]
     gaps = jnp.stack([
         jnp.asarray(ins_open, jnp.float32), jnp.asarray(ins_ext, jnp.float32),
         jnp.asarray(del_open, jnp.float32), jnp.asarray(del_ext, jnp.float32),
-    ]).reshape(1, 4)
-    submat_p = jnp.zeros((1, 32), jnp.float32).at[0, :25].set(
-        jnp.asarray(submat, jnp.float32))
+        match.astype(jnp.float32), mismatch.astype(jnp.float32),
+        jnp.float32(0), jnp.float32(0),
+    ]).reshape(1, 8)
+
+    offsets = offsets.astype(jnp.int32)
+    s = jnp.diff(offsets, axis=1, prepend=offsets[:, :1])
+    srb = (s << 3) | reads.astype(jnp.int32)
+    # [N, L] -> [N8, J, 8, R]
+    srb = srb.reshape(N8, ITEMS, J, R).transpose(0, 2, 1, 3)
+    off_t = offsets.reshape(N8, ITEMS, J, R).transpose(0, 2, 1, 3)
     wpad = jnp.concatenate(
         [windows.astype(jnp.int32),
-         jnp.full((N, w_b), 4, dtype=jnp.int32)], axis=1)
+         jnp.full((N, tgtw), 4, dtype=jnp.int32)], axis=1)
+    Wp = W + tgtw
 
-    kernel = functools.partial(_kernel, R=R, w_b=w_b)
+    kernel = functools.partial(_kernel, R=R, w_b=w_b, tgtw=tgtw)
     grid_spec = pl.GridSpec(
-        grid=(N, J),
+        grid=(N8, J),
         scratch_shapes=[
-            pltpu.VMEM((1, padw), jnp.float32),
-            pltpu.VMEM((1, padw), jnp.float32),
-            pltpu.VMEM((1, padw), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((R, w_b), jnp.int32),
+            pltpu.VMEM((ITEMS, w_b), jnp.float32),
+            pltpu.VMEM((ITEMS, w_b), jnp.float32),
+            pltpu.VMEM((ITEMS, w_b), jnp.float32),
+            pltpu.VMEM((ITEMS, w_b), jnp.float32),
+            pltpu.VMEM((ITEMS, R, w_b), jnp.int32),
         ],
         in_specs=[
-            pl.BlockSpec((1, 1, 1, R), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.SMEM),     # read codes (int32)
-            pl.BlockSpec((1, 1, 1, R), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.SMEM),     # offsets
-            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),     # qa
-            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),     # qb
-            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),     # ta
-            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),     # tb
-            pl.BlockSpec((1, 32), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),     # submat
-            pl.BlockSpec((1, 4), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),     # gap costs
-            pl.BlockSpec((1, 1, W + w_b), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),     # window (int32)
+            pl.BlockSpec((1, 1, ITEMS, R), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),   # srb
+            pl.BlockSpec((1, 1, ITEMS, R), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),   # offsets
+            pl.BlockSpec((1, 1, ITEMS), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),   # qa
+            pl.BlockSpec((1, 1, ITEMS), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),   # qb
+            pl.BlockSpec((1, 1, ITEMS), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),   # ta
+            pl.BlockSpec((1, 1, ITEMS), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),   # tb
+            pl.BlockSpec((1, 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),   # gaps + match/mismatch
+            pl.BlockSpec((1, ITEMS, Wp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # window (int32)
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, R, w_b), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITEMS, w_b), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # combo
+            pl.BlockSpec((1, 1, ITEMS, R, w_b), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),   # bits
         ],
     )
-    score, state, ok, bits = pl.pallas_call(
+    combo, bits = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((N, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((N, 1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((N, 1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((N, J, R, w_b), jnp.uint8),
+            jax.ShapeDtypeStruct((N8, ITEMS, w_b), jnp.float32),
+            jax.ShapeDtypeStruct((N8, J, ITEMS, R, w_b), jnp.uint8),
         ],
-    )(reads.astype(jnp.int32).reshape(N, J, 1, R),
-      offsets.astype(jnp.int32).reshape(N, J, 1, R),
-      qa.reshape(N, 1, 1), qb.reshape(N, 1, 1),
-      ta.reshape(N, 1, 1), tb.reshape(N, 1, 1),
-      submat_p, gaps, wpad.reshape(N, 1, W + w_b))
+    )(srb, off_t,
+      qa.reshape(N8, 1, ITEMS), qb.reshape(N8, 1, ITEMS),
+      ta.reshape(N8, 1, ITEMS), tb.reshape(N8, 1, ITEMS),
+      gaps, wpad.reshape(N8, ITEMS, Wp))
+
+    combo = combo.reshape(N, w_b).min(axis=1)
+    ok = combo < INF * 0.5
+    score = jnp.floor(jnp.where(ok, combo, 0.0) / 4.0)
+    state = (jnp.where(ok, combo, 0.0) - score * 4.0).astype(jnp.int32)
+    bits = bits.transpose(0, 2, 1, 3, 4).reshape(N, L, w_b)
+    N0 = N - n_pad
     return BandedResult(
-        score=score.reshape(N),
-        tbbits=bits.reshape(N, L, w_b),
-        final_state=state.reshape(N),
-        valid=ok.reshape(N) > 0,
+        score=jnp.where(ok, score, INF)[:N0],
+        tbbits=bits[:N0],
+        final_state=state[:N0],
+        valid=ok[:N0],
     )

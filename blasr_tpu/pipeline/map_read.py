@@ -67,25 +67,52 @@ class DeviceIndex(NamedTuple):
         )
 
 
-class BatchResult(NamedTuple):
-    """Per (strand-row, candidate) alignment results; strand rows are
-    [fwd x B, rc x B]."""
+# column indices of PackedBatch.ints
+(COL_VALID, COL_QA, COL_QB, COL_TS, COL_TE, COL_NMATCH, COL_NMIS, COL_NINS,
+ COL_NDEL, COL_DPSLOT, COL_SCORE, COL_CHSCORE, COL_CHANCH, COL_NANCH) = range(14)
+N_COLS = 14
 
-    score: jnp.ndarray      # float32 [2B, C]
-    valid: jnp.ndarray      # bool [2B, C]
-    q_start: jnp.ndarray    # int32 [2B, C] strand-local read coords
-    q_end: jnp.ndarray      # int32 [2B, C]
-    t_start: jnp.ndarray    # int32 [2B, C] forward-genome coords
-    t_end: jnp.ndarray      # int32 [2B, C]
-    n_match: jnp.ndarray    # int32 [2B, C]
-    n_mismatch: jnp.ndarray
-    n_ins: jnp.ndarray
-    n_del: jnp.ndarray
+
+class PackedBatch(NamedTuple):
+    """Device-side result of map_batch, packed for cheap host transfer."""
+
+    ints: jnp.ndarray       # int32 [2B, C, N_COLS] columns per COL_*
     ops: jnp.ndarray        # uint8 [N_dp, T/4] 2-bit-packed end-first ops
-    dp_slot: jnp.ndarray    # int32 [2B, C] row into ops, -1 if not aligned
-    chain_score: jnp.ndarray   # float32 [2B, C] anchor-chain weight
-    chain_anchors: jnp.ndarray  # int32 [2B, C]
-    n_anchors: jnp.ndarray     # int32 [2B] anchors found on this strand
+
+
+class BatchResult(NamedTuple):
+    """Host view of a PackedBatch (strand rows are [fwd x B, rc x B];
+    scores are integer-valued, carried through the int32 block)."""
+
+    score: np.ndarray       # [2B, C]
+    valid: np.ndarray       # bool [2B, C]
+    q_start: np.ndarray     # [2B, C] strand-local read coords
+    q_end: np.ndarray       # [2B, C]
+    t_start: np.ndarray     # [2B, C] forward-genome coords
+    t_end: np.ndarray       # [2B, C]
+    n_match: np.ndarray     # [2B, C]
+    n_mismatch: np.ndarray
+    n_ins: np.ndarray
+    n_del: np.ndarray
+    ops: np.ndarray         # uint8 [N_dp, T/4]
+    dp_slot: np.ndarray     # [2B, C] row into ops, -1 if not aligned
+    chain_score: np.ndarray   # [2B, C] anchor-chain weight
+    chain_anchors: np.ndarray  # [2B, C]
+    n_anchors: np.ndarray      # [2B] anchors found on this strand
+
+
+def unpack_batch(pb: PackedBatch) -> BatchResult:
+    """Fetch a PackedBatch to host numpy and expand the column block."""
+    ints = np.asarray(pb.ints)
+    ops = np.asarray(pb.ops)
+    c = [ints[..., i] for i in range(ints.shape[-1])]
+    return BatchResult(
+        score=c[10].astype(np.float32), valid=c[0] > 0,
+        q_start=c[1], q_end=c[2], t_start=c[3], t_end=c[4],
+        n_match=c[5], n_mismatch=c[6], n_ins=c[7], n_del=c[8],
+        ops=ops, dp_slot=c[9], chain_score=c[11].astype(np.float32),
+        chain_anchors=c[12], n_anchors=c[13][:, 0],
+    )
 
 
 def _revcomp_batch(reads: jnp.ndarray, read_len: jnp.ndarray) -> jnp.ndarray:
@@ -129,11 +156,13 @@ def _band_offsets(mq, mt, ml, qa, qb, ws, L, W, w_b):
                   jnp.where(inside, t0 + (r - q0), lin)))
     center = center - ws  # window coordinates
     off = jnp.clip(center - w_b // 2, 0, W - w_b)
-    # monotone nondecreasing, slope-limited so successive bands overlap;
-    # the recurrence o'[r] = min(o[r], o'[r-1] + smax) over a monotone o
-    # unrolls to the closed form smax*r + cummin(o - smax*r) (exact ints)
+    # monotone nondecreasing, slope-limited to {0, 1, 2} per row (the
+    # Pallas kernel's 3-way-select contract; local indel bursts beyond
+    # slope 2 are absorbed by the band width); the recurrence
+    # o'[r] = min(o[r], o'[r-1] + smax) over a monotone o unrolls to the
+    # closed form smax*r + cummin(o - smax*r) (exact ints)
     off = jax.lax.cummax(off)
-    smax = w_b - 2
+    smax = 2
     off = smax * r + jax.lax.cummin(off - smax * r)
     return off
 
@@ -252,23 +281,27 @@ def map_batch(
 
     dp_slot = jnp.full((n2 * C,), -1, jnp.int32).at[sel].set(
         jnp.arange(n_dp, dtype=jnp.int32)).reshape(n2, C)
-    return BatchResult(
-        score=scatter(res.score, 1e30),
-        valid=scatter(valid_sel, False),
-        q_start=scatter(qa),
-        q_end=scatter(qb),
-        t_start=scatter(ta + ws - 1),  # -1: device genome sentinel
-        t_end=scatter(tb + ws - 1),
-        n_match=scatter(tbk.n_match),
-        n_mismatch=scatter(tbk.n_mismatch),
-        n_ins=scatter(tbk.n_ins),
-        n_del=scatter(tbk.n_del),
-        ops=packed,
-        dp_slot=dp_slot,
-        chain_score=cands.score.reshape(n2, C),
-        chain_anchors=cands.n_anchors.reshape(n2, C),
-        n_anchors=anchors.n_total,
-    )
+    # pack everything the host needs into two contiguous arrays: each
+    # device->host array is a separate round trip (expensive on remote
+    # attachments), so one int32 block + the uint8 ops block beat ~15
+    # small transfers
+    ints = jnp.stack([
+        scatter(valid_sel.astype(jnp.int32)),
+        scatter(qa),
+        scatter(qb),
+        scatter(ta + ws - 1),  # -1: device genome sentinel
+        scatter(tb + ws - 1),
+        scatter(tbk.n_match),
+        scatter(tbk.n_mismatch),
+        scatter(tbk.n_ins),
+        scatter(tbk.n_del),
+        dp_slot,
+        scatter(res.score, 1e30).astype(jnp.int32),
+        cands.score.reshape(n2, C).astype(jnp.int32),
+        cands.n_anchors.reshape(n2, C),
+        jnp.broadcast_to(anchors.n_total[:, None], (n2, C)),
+    ], axis=-1)
+    return PackedBatch(ints=ints, ops=packed)
 
 
 # ---------------------------------------------------------------------------
@@ -419,9 +452,19 @@ class Mapper:
         self.cfg = cfg or ShapeConfig()
         self.metrics = metrics or MappingMetrics()
         self.dev = DeviceIndex.from_host(gi)
-        self.use_pallas = jax.default_backend() != "cpu"
         m = np.asarray(self.params.score_matrix, dtype=np.float32).reshape(25)
         self.submat = jnp.asarray(m)
+        # the Pallas fast path assumes a two-valued matrix (match on the
+        # ACGT diagonal, one mismatch value everywhere else) and band 128;
+        # general --scoreMatrix inputs use the XLA kernel
+        m5 = m.reshape(5, 5)
+        two_valued = (
+            np.all(np.diag(m5)[:4] == m5[0, 0])
+            and np.all(m5[~np.eye(5, dtype=bool)] == m5[0, 1])
+            and m5[4, 4] == m5[0, 1])
+        self.use_pallas = (jax.default_backend() != "cpu"
+                           and two_valued
+                           and (cfg or ShapeConfig()).band_width == 128)
         p = self.params
         if p.affine_align:
             gaps = [p.affine_open + p.insertion, max(p.affine_extend, 1),
@@ -471,7 +514,7 @@ class Mapper:
         for group, lens, res in pending:
             B = batch
             with self.metrics.clock("collectAlignments"):
-                res = jax.tree.map(np.asarray, res)
+                res = unpack_batch(res)
                 for i, r in enumerate(group):
                     out.append(self._collect(res, i, B, r, int(lens[i])))
             self.metrics.add("numReads", len(group))

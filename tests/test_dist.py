@@ -10,7 +10,7 @@ from blasr_tpu.dist.mesh import (
     make_mesh, map_batch_data_parallel, map_batch_ref_sharded, shard_index)
 from blasr_tpu.index import build_genome_index
 from blasr_tpu.params import MappingParams, ShapeConfig
-from blasr_tpu.pipeline.map_read import DeviceIndex, map_batch
+from blasr_tpu.pipeline.map_read import DeviceIndex, map_batch, unpack_batch
 from blasr_tpu.sim import random_genome, simulate_reads
 
 
@@ -51,10 +51,10 @@ def test_data_parallel_matches_single_device():
         out = map_batch_data_parallel(
             mesh, dev, jnp.asarray(reads), jnp.asarray(lens), submat, gaps,
             **static)
-    np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(out.score))
-    np.testing.assert_array_equal(np.asarray(ref.t_start),
-                                  np.asarray(out.t_start))
-    np.testing.assert_array_equal(np.asarray(ref.ops), np.asarray(out.ops))
+    ref_h, out_h = unpack_batch(ref), unpack_batch(out)
+    np.testing.assert_array_equal(ref_h.score, out_h.score)
+    np.testing.assert_array_equal(ref_h.t_start, out_h.t_start)
+    np.testing.assert_array_equal(ref_h.ops, out_h.ops)
 
 
 def test_shard_index_covers_genome():
@@ -88,8 +88,8 @@ def test_ref_sharded_finds_same_best_hits():
         for i in range(Bl):
             row_map[d * Bl + i] = d * 2 * Bl + i            # fwd
             row_map[B + d * Bl + i] = d * 2 * Bl + Bl + i    # rc
-    ref_np = jax.tree.map(np.asarray, ref)
-    out_np = jax.tree.map(np.asarray, out)
+    ref_np = unpack_batch(ref)
+    out_np = unpack_batch(out)
     matched = 0
     for r in range(2 * B):
         if not ref_np.valid[r].any():

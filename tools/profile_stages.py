@@ -14,7 +14,7 @@ from blasr_tpu.kernels.anchor import find_anchors
 from blasr_tpu.kernels.banded import banded_align, banded_traceback
 from blasr_tpu.kernels.chain import chain_anchors, chain_members
 from blasr_tpu.params import MappingParams, ShapeConfig
-from blasr_tpu.pipeline.map_read import DeviceIndex, map_batch
+from blasr_tpu.pipeline.map_read import DeviceIndex, map_batch, unpack_batch
 from blasr_tpu.sim import random_genome, simulate_reads
 
 
@@ -98,7 +98,7 @@ def main():
 
     # host collect cost
     t0 = time.time()
-    host = jax.tree.map(np.asarray, full)
+    host = unpack_batch(full)
     print(f"{'device->host':24s} {(time.time()-t0)*1000:9.1f} ms "
           f"(ops bytes={host.ops.nbytes})")
     # host cigar-assembly cost
