@@ -126,44 +126,46 @@ def _revcomp_batch(reads: jnp.ndarray, read_len: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ok, comp[gathered], jnp.int8(4))
 
 
-def _band_offsets(mq, mt, ml, qa, qb, ws, L, W, w_b):
-    """Band start per query row from the chain guide path (window coords).
+def _band_offsets(mq, mt, ws, L, W, w_b):
+    """Band start per query row from the chain guide path (window coords),
+    batched over items.  mq/mt: int32 [N, MC] chain anchors, q-ascending,
+    invalid entries mq == BIG32.  The TPU stand-in for the reference's SDP
+    guide path (GuidedAlign block following, BlasrUtilsImpl.hpp:705-732).
 
-    Piecewise-linear interpolation through chain anchors — the TPU stand-in
-    for the reference's SDP guide path (GuidedAlign block following,
-    BlasrUtilsImpl.hpp:705-732).
+    Formulation: each anchor contributes a diagonal (t - q in window
+    coords); the guide holds the most recent anchor's diagonal
+    (diagonal-hold between anchors; the slope limiter smooths catch-up
+    jumps and the band absorbs the residual).  (row, diagonal) pairs are
+    packed into one int32 so a single scatter-max + cummax forward-fills
+    the path — no per-row binary searches.
     """
+    N, MC = mq.shape
+    DBITS = 15
+    DBIAS = 1 << (DBITS - 1)
+    valid = mq < BIG32
+    tw = mt - ws[:, None]                        # window coords
+    diag = jnp.clip(tw - mq, -DBIAS + 1, DBIAS - 1)
+    packed = jnp.where(valid, (mq << DBITS) | (diag + DBIAS), -1)
+    rows = jnp.clip(jnp.where(valid, mq, L - 1), 0, L - 1)
+    arr = jnp.full((N, L), -1, jnp.int32)
+    arr = arr.at[jnp.arange(N, dtype=jnp.int32)[:, None], rows].max(packed)
+    ff = jax.lax.cummax(arr, axis=1)
+    diag_ff = (ff & (2 * DBIAS - 1)) - DBIAS
+    # before the first anchor: hold the first anchor's diagonal
+    diag0 = jnp.where(valid[:, 0],
+                      jnp.clip(tw[:, 0] - mq[:, 0], -DBIAS + 1, DBIAS - 1),
+                      0)
     r = jnp.arange(L, dtype=jnp.int32)
-    mc = mq.shape[0]
-    nv = jnp.sum(mq < BIG32).astype(jnp.int32)
-    nv1 = jnp.maximum(nv, 1)
-    last = nv1 - 1
-    # bracket: j = rightmost anchor with mq[j] <= r
-    j = jnp.searchsorted(mq, r, side="right") - 1
-    j = jnp.clip(j, 0, last)
-    j1 = jnp.minimum(j + 1, last)
-    q0, t0, l0 = mq[j], mt[j], ml[j]
-    q1, t1 = mq[j1], mt[j1]
-    # inside anchor j: diagonal; between anchors: linear; outside: slope 1
-    before = r < mq[0]
-    after = r >= mq[last]
-    inside = (r >= q0) & (r < q0 + l0)
-    dq = jnp.maximum(q1 - q0, 1)
-    lin = t0 + ((r - q0) * (t1 - t0)) // dq
-    center = jnp.where(
-        before, mt[0] - (mq[0] - r),
-        jnp.where(after, mt[last] + (r - mq[last]),
-                  jnp.where(inside, t0 + (r - q0), lin)))
-    center = center - ws  # window coordinates
+    center = r[None, :] + jnp.where(ff >= 0, diag_ff, diag0[:, None])
     off = jnp.clip(center - w_b // 2, 0, W - w_b)
     # monotone nondecreasing, slope-limited to {0, 1, 2} per row (the
     # Pallas kernel's 3-way-select contract; local indel bursts beyond
     # slope 2 are absorbed by the band width); the recurrence
     # o'[r] = min(o[r], o'[r-1] + smax) over a monotone o unrolls to the
     # closed form smax*r + cummin(o - smax*r) (exact ints)
-    off = jax.lax.cummax(off)
+    off = jax.lax.cummax(off, axis=1)
     smax = 2
-    off = smax * r + jax.lax.cummin(off - smax * r)
+    off = smax * r[None, :] + jax.lax.cummin(off - smax * r[None, :], axis=1)
     return off
 
 
@@ -250,10 +252,9 @@ def map_batch(
     qb = jnp.maximum(pick(cands.q_end), qa + 1)
 
     mcw = mq.shape[-1]
-    offs = jax.vmap(
-        _band_offsets, in_axes=(0, 0, 0, 0, 0, 0, None, None, None),
-    )(pick(mq.reshape(n2, C, mcw)), pick(mt.reshape(n2, C, mcw)),
-      pick(ml.reshape(n2, C, mcw)), qa, qb, ws, L, W, w_b)
+    offs = _band_offsets(
+        pick(mq.reshape(n2, C, mcw)), pick(mt.reshape(n2, C, mcw)),
+        ws, L, W, w_b)
 
     if use_pallas:
         from blasr_tpu.kernels.pallas_banded import pallas_banded_align
