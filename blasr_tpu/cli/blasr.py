@@ -34,6 +34,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--sam", action="store_true", help="SAM output")
     ap.add_argument("--bam", action="store_true", help="BAM output")
     ap.add_argument("--sa", default=None, help="prebuilt index (.npz)")
+    ap.add_argument("--bwt", default=None,
+                    help="prebuilt BWT index (.npz, from sa2bwt); converted "
+                         "to the runtime k-mer index at load")
     ap.add_argument("--ctab", default=None, help="(accepted; ctab is part of the index)")
     ap.add_argument("--minMatch", type=int, default=12)
     ap.add_argument("--maxMatch", type=int, default=0)
@@ -142,6 +145,14 @@ def run(argv: Optional[List[str]] = None) -> int:
 
     if args.sa:
         gi = GenomeIndex.load(args.sa)
+    elif args.bwt:
+        # --bwt path (Blasr.cpp:1073-1080): smaller artifact, slower load —
+        # the BWT is inverted and the runtime k-mer index rebuilt
+        from blasr_tpu.cli.bwt2sa import contigs_from_concat
+        from blasr_tpu.index.bwt import invert_bwt, load_bwt
+        bwt, counts, names, lengths = load_bwt(args.bwt)
+        contigs = contigs_from_concat(invert_bwt(bwt, counts), names, lengths)
+        gi = build_genome_index(contigs, k=min(params.min_match_length, 16))
     else:
         contigs = read_fasta(args.genome)
         gi = build_genome_index(

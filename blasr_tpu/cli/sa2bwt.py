@@ -1,0 +1,54 @@
+"""sa2bwt equivalent: suffix-array index -> BWT index.
+
+Reference: extrautils/SuffixArrayToBWT.cpp:48
+(``sa2bwt genome.fasta genome.sa out.bwt``).  Reads the genome FASTA plus a
+sawriter .npz index (the stored full suffix array is used when present,
+else rebuilt), writes a .bwt.npz artifact loadable by ``blasr_tpu --bwt``
+and invertible by ``bwt2sa``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from blasr_tpu.index.bwt import build_bwt, save_bwt
+from blasr_tpu.index.genome import GenomeIndex, concat_contigs
+from blasr_tpu.io.fasta import read_fasta
+
+
+def run(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(prog="sa2bwt")
+    ap.add_argument("fastaIn", help="reference fasta")
+    ap.add_argument("saIn", help="sawriter index (.npz)")
+    ap.add_argument("bwtOut", help="output BWT (.npz)")
+    args = ap.parse_args(argv)
+
+    contigs = read_fasta(args.fastaIn)
+    genome, seqdb = concat_contigs(contigs)
+    sa = None
+    try:
+        gi = GenomeIndex.load(args.saIn)
+        if gi.suffix_array is not None and len(gi.suffix_array) == len(genome) + 1:
+            sa = gi.suffix_array
+    except (FileNotFoundError, KeyError, ValueError):
+        sys.stderr.write(f"WARNING: could not read SA from {args.saIn}; "
+                         "rebuilding\n")
+    bwt, counts = build_bwt(genome, sa)
+    out = args.bwtOut
+    if out.endswith(".npz"):
+        out = out[:-4]
+    save_bwt(out, bwt, counts, seqdb.names, seqdb.lengths)
+    sys.stderr.write(f"wrote {out}.npz ({len(bwt)} rows)\n")
+    return 0
+
+
+def main() -> None:
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()

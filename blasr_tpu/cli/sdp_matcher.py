@@ -1,62 +1,181 @@
-"""sdpMatcher equivalent: standalone pairwise aligner.
+"""sdpMatcher equivalent: standalone pairwise SDP aligner.
 
-Reference: utils/SDPMatcher.cpp — aligns query.fasta x target.fasta pairs
-with SDP + per-pair printing.  Here each (query, target) pair runs the
-full anchor->chain->guided-banded pipeline against a single-contig index
-built from the target, printing m-format records.
+Reference: utils/SDPMatcher.cpp — aligns query[i] x target[i] FASTA pairs
+(or every query against one fixed target) with SDPAlign, prints a CSV
+header ``qid,tid,qstart,qend,qlen,tstart,tend,tlen,score`` and one row per
+pair (utils/SDPMatcher.cpp:127-173).  Flags mirrored: k positional,
+-indelRate, -indel, -match, -local, -noRefine, -showalign, -printsw,
+-fixedtarget, -printSimilarity.
+
+The SDP skeleton runs on device (kernels/sdp.py); refinement is the guided
+banded kernel following the fragment path (the reference's
+detailedSDPAlignment role); -printsw uses the full NumPy SW.
 """
 
 from __future__ import annotations
 
-import argparse
 import sys
 from typing import List, Optional
 
-from blasr_tpu.index import build_genome_index
-from blasr_tpu.io import formats
-from blasr_tpu.io.fasta import read_fasta
-from blasr_tpu.params import MappingParams, ShapeConfig
-from blasr_tpu.pipeline.map_read import Mapper
-from blasr_tpu.pipeline.select import store_map_qvs
+import numpy as np
 
 
 def run(argv: Optional[List[str]] = None) -> int:
-    ap = argparse.ArgumentParser(prog="sdpMatcher")
-    ap.add_argument("query", help="query fasta")
-    ap.add_argument("target", help="target fasta")
-    ap.add_argument("k", type=int, nargs="?", default=11,
-                    help="tuple size (reference sdpTupleSize)")
-    ap.add_argument("-local", action="store_true", dest="local")
-    ap.add_argument("-m", dest="fmt", type=int, default=5)
-    ap.add_argument("-indel", type=int, default=5)
-    ap.add_argument("--out", default="-")
-    args = ap.parse_args(argv)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) < 3:
+        sys.stderr.write(
+            "usage: sdpMatcher query target k [-indelRate delta] "
+            "[-showalign] [-printsw] [-noRefine] [-indel i] [ -local ] "
+            "[-match m] [-fixedtarget] [-printSimilarity]\n")
+        return 1
+    query_name, target_name, k = argv[0], argv[1], int(argv[2])
+    indel = 3
+    match = 0
+    indel_rate = 0.25
+    local = refine = False
+    refine = True
+    showalign = printsw = fixed_target = print_similarity = False
+    i = 3
+    while i < len(argv):
+        a = argv[i]
+        if a == "-indelRate":
+            i += 1
+            indel_rate = float(argv[i])
+        elif a == "-indel":
+            i += 1
+            indel = int(argv[i])
+        elif a == "-match":
+            i += 1
+            match = int(argv[i])
+        elif a in ("-sdpIndel", "-sdpIns", "-sdpDel"):
+            i += 1  # accepted, unused (same as the reference)
+        elif a == "-local":
+            local = True
+        elif a == "-noRefine":
+            refine = False
+        elif a == "-showalign":
+            showalign = True
+        elif a == "-printsw":
+            printsw = True
+        elif a == "-fixedtarget":
+            fixed_target = True
+        elif a == "-printSimilarity":
+            print_similarity = True
+        else:
+            sys.stderr.write(f"Bad option: {a}\n")
+            return 1
+        i += 1
 
-    queries = read_fasta(args.query)
-    targets = read_fasta(args.target)
-    params = MappingParams(
-        min_match_length=max(8, min(args.k, 16)),
-        insertion=args.indel, deletion=args.indel,
-        min_read_length=1,
-    ).make_sane()
-    out = sys.stdout if args.out == "-" else open(args.out, "w")
-    gi = build_genome_index(targets, k=params.min_match_length)
-    mapper = Mapper(gi, params)
-    results = mapper.map_reads(queries)
-    for alns in results:
-        store_map_qvs(alns, params)
-        for a in alns[:1]:
-            if args.fmt == 5:
-                formats.write_m5(out, a, gi)
-            elif args.fmt == 4:
-                formats.write_m4(out, a)
-            elif args.fmt == 1:
-                formats.write_m1(out, a)
-            else:
-                formats.write_m0(out, a, gi)
-    if out is not sys.stdout:
-        out.close()
+    import jax.numpy as jnp
+
+    from blasr_tpu.io.fasta import read_fasta
+    from blasr_tpu.kernels.banded import banded_align, banded_traceback
+    from blasr_tpu.kernels.sdp import sdp_align
+    from blasr_tpu.kernels.sw import stick_print, sw_align
+    from blasr_tpu.params import default_score_matrix, round_up
+    from blasr_tpu.pipeline.map_read import ops_to_cigar
+
+    queries = read_fasta(query_name)
+    targets = read_fasta(target_name)
+    pairs = ([(q, targets[0]) for q in queries] if fixed_target
+             else list(zip(queries, targets)))
+    pairs = [(q, t) for q, t in pairs if len(q.seq) and len(t.seq)]
+
+    out = sys.stdout
+    hdr = "qid,tid,qstart,qend,qlen,tstart,tend,tlen,score"
+    if print_similarity:
+        hdr += ",pctSimilarity"
+    out.write(hdr + "\n")
+    if not pairs:
+        return 0
+
+    Lq = round_up(max(len(q.seq) for q, _ in pairs), 64)
+    Lt = round_up(max(len(t.seq) for _, t in pairs) + 129, 128)
+    N = len(pairs)
+    qarr = np.full((N, Lq), 4, np.int8)
+    tarr = np.full((N, Lt), 4, np.int8)
+    qlen = np.zeros(N, np.int32)
+    tlen = np.zeros(N, np.int32)
+    for n, (q, t) in enumerate(pairs):
+        qarr[n, : len(q.seq)] = q.seq
+        # target shifted by 1: the banded DP boundary cell needs ta >= 1
+        tarr[n, 1: 1 + len(t.seq)] = t.seq
+        qlen[n] = len(q.seq)
+        tlen[n] = len(t.seq) + 1
+    res = sdp_align(jnp.asarray(qarr), jnp.asarray(qlen),
+                    jnp.asarray(tarr), jnp.asarray(tlen),
+                    k=k, global_align=not local)
+
+    mat = default_score_matrix(match, 0)
+    submat = jnp.asarray(np.asarray(mat, np.float32).reshape(25))
+    from blasr_tpu.pipeline.map_read import _band_offsets
+
+    qa = np.asarray(res.q_start)
+    qb = np.maximum(np.asarray(res.q_end), qa + 1)
+    ta = np.maximum(np.asarray(res.t_start), 1)
+    tb = np.maximum(np.minimum(np.asarray(res.t_end), tlen), ta + 1)
+    offs = _band_offsets(res.mq, res.mt, jnp.zeros(N, jnp.int32),
+                         Lq, Lt, 128)
+    aln = banded_align(jnp.asarray(qarr), jnp.asarray(tarr), offs,
+                       jnp.asarray(qa), jnp.asarray(qb),
+                       jnp.asarray(ta), jnp.asarray(tb),
+                       submat, indel, indel, indel, indel, w_b=128)
+    tbk = banded_traceback(aln, offs, jnp.asarray(qa), jnp.asarray(qb),
+                           jnp.asarray(ta), jnp.asarray(tb),
+                           t_max=Lq + Lt, w_b=128)
+    tbk = None if not refine else tbk
+
+    valid = np.asarray(res.valid)
+    scores = np.asarray(aln.score)
+    okdp = np.asarray(aln.valid)
+    stats = (None if tbk is None else
+             tuple(np.asarray(x) for x in
+                   (tbk.n_match, tbk.n_mismatch, tbk.n_ins, tbk.n_del)))
+    ops_np = None if tbk is None else np.asarray(tbk.ops)
+
+    for n, (q, t) in enumerate(pairs):
+        if not valid[n]:
+            row = [q.name, t.name, 0, 0, len(q.seq), 0, 0, len(t.seq), 0]
+            if print_similarity:
+                row.append("0.00")
+            out.write(",".join(map(str, row)) + "\n")
+            continue
+        if refine and okdp[n]:
+            score = int(scores[n])
+            nm, nx, ni, nd = (int(s[n]) for s in stats)
+            pct = 100.0 * nm / max(nm + nx + ni + nd, 1)
+        else:
+            # -noRefine: score the chained fragment bases as matches
+            bases = int(np.asarray(res.score)[n])
+            score = bases * (match if match else -5)
+            pct = 100.0
+        score = min(score, 0)  # reference clamps rare positive SDP scores
+        row = [q.name, t.name, int(qa[n]), int(qb[n]), len(q.seq),
+               int(ta[n]) - 1, int(tb[n]) - 1, len(t.seq), score]
+        if print_similarity:
+            row.append(f"{pct:.2f}")
+        out.write(",".join(map(str, row)) + "\n")
+        if showalign and refine and okdp[n]:
+            from blasr_tpu.kernels.sw import SWAlignment
+            cigar = ops_to_cigar(_pack2(ops_np[n]))
+            sa = SWAlignment(score=score, q_start=int(qa[n]),
+                             q_end=int(qb[n]), t_start=int(ta[n]),
+                             t_end=int(tb[n]), cigar=cigar)
+            stick_print(sa, qarr[n], tarr[n], out)
+        if printsw:
+            sw = sw_align(q.seq, t.seq, match=(match if match else -5),
+                          ins=indel, delete=indel,
+                          align_type="local" if local else "global")
+            stick_print(sw, q.seq, t.seq, out)
     return 0
+
+
+def _pack2(ops_row: np.ndarray) -> np.ndarray:
+    """uint8 op codes -> 2-bit packed (ops_to_cigar input convention)."""
+    o = np.where(ops_row == 4, 1, ops_row).astype(np.uint32)
+    o4 = o.reshape(-1, 4)
+    return (o4[:, 0] | (o4[:, 1] << 2) | (o4[:, 2] << 4)
+            | (o4[:, 3] << 6)).astype(np.uint8)
 
 
 def main() -> None:

@@ -88,17 +88,18 @@ def test_sam_filter_bestn(files):
     assert all(l in in_set for l in recs_out)
 
 
-def test_sdp_matcher(files):
+def test_sdp_matcher(files, capsys):
     d, genome, reads, contigs, sims = files
     from blasr_tpu.cli.sdp_matcher import run as sdp
-    out = str(d / "sdp.m5")
-    # align a read against the contig it came from
+    # align a read against the contig it came from (reference CSV format:
+    # qid,tid,qstart,qend,qlen,tstart,tend,tlen,score)
     q = str(d / "q.fa")
     t = str(d / "t.fa")
     write_fasta(q, [sims[0].rec])
     write_fasta(t, [contigs[sims[0].contig]])
-    assert sdp([q, t, "11", "--out", out]) == 0
-    lines = open(out).read().splitlines()
-    assert len(lines) == 1
-    f = lines[0].split()
-    assert int(f[10]) < 0  # aligned with negative-better score
+    assert sdp([q, t, "11"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "qid,tid,qstart,qend,qlen,tstart,tend,tlen,score"
+    assert len(lines) == 2
+    f = lines[1].split(",")
+    assert int(f[8]) < 0  # aligned with negative-better score
