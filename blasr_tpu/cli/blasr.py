@@ -81,8 +81,99 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--useccs", action="store_true")
     ap.add_argument("--useccsall", action="store_true")
     ap.add_argument("--useccsdenovo", action="store_true")
+    # anchoring / expansion
+    ap.add_argument("--maxLCPLength", type=int, default=None,
+                    help="alias of --maxMatch")
+    ap.add_argument("--maxExpand", "-M", type=int, default=0)
+    ap.add_argument("--minExpand", type=int, default=0)
+    # intervals / weighting
+    ap.add_argument("--pvaltype", "-pvaltype", type=int, default=0,
+                    choices=[0, 1, 2])
+    ap.add_argument("--fastMaxInterval", action="store_true")
+    ap.add_argument("--aggressiveIntervalCut", action="store_true")
+    ap.add_argument("--advanceHalf", action="store_true")
+    ap.add_argument("--advanceExactMatches2", dest="_ignore",
+                    action="store_true", help=argparse.SUPPRESS)
+    # SDP / refinement
+    ap.add_argument("--sdpTupleSize", type=int, default=11)
+    ap.add_argument("--sdpIns", type=int, default=5)
+    ap.add_argument("--sdpDel", type=int, default=10)
+    ap.add_argument("--fastSDP", action="store_true")
+    ap.add_argument("--refineBetweenAnchorsOnly", action="store_true")
+    ap.add_argument("--noRefineAlignments", action="store_true")
+    ap.add_argument("--useGuidedAlign", action="store_true", default=True)
+    ap.add_argument("--noUseGuidedAlign", action="store_true")
+    ap.add_argument("--bandSize", type=int, default=0)
+    ap.add_argument("--guidedAlignBandSize", type=int, default=10)
+    ap.add_argument("--extend", action="store_true")
+    ap.add_argument("--maxExtendDropoff", type=int, default=10)
+    # scoring
+    ap.add_argument("--scoreMatrix", default=None,
+                    help="25 space-separated ACGTN x ACGTN scores")
+    ap.add_argument("--substitutionPrior", type=int, default=20)
+    ap.add_argument("--deletionPrior", type=int, default=13)
+    ap.add_argument("--useQuality", action="store_true",
+                    help="use FASTQ/BAM quality values in rescoring")
+    # concordant details
+    ap.add_argument("--concordantTemplate", default="mediansubread",
+                    choices=["mediansubread", "longestsubread",
+                             "typicalsubread"])
+    ap.add_argument("--concordantAlignBothDirections", action="store_true")
+    ap.add_argument("--flankSize", type=int, default=40)
+    ap.add_argument("--refineConcordantAlignments", action="store_true")
+    ap.add_argument("--noSplitSubreads", action="store_true")
+    # selection / output extras
+    ap.add_argument("--holeNumbers", default=None,
+                    help="ZMW hole-number ranges, e.g. 1,2,10-12")
+    ap.add_argument("--titleTable", default=None,
+                    help="title table file: output tName becomes its index")
+    ap.add_argument("--printSAMQV", action="store_true")
+    ap.add_argument("--noPrintSubreadTitle", action="store_true")
+    # observability
+    ap.add_argument("--metrics", default=None, help="timing summary file")
+    ap.add_argument("--fullMetrics", default=None,
+                    help="per-call timing lists file")
+    ap.add_argument("--anchors", default=None, help="raw anchor dump file")
+    ap.add_argument("--clusters", default=None,
+                    help="per-read cluster statistics file")
     ap.add_argument("-V", "--verbose", type=int, default=0, nargs="?", const=1)
     return ap
+
+
+def parse_hole_numbers(spec: str):
+    """'1,2,10-12' -> predicate on hole numbers (reference --holeNumbers,
+    Blasr.cpp:60-69 early-stop semantics not needed host-side)."""
+    ranges = []
+    for part in spec.split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            ranges.append((int(a), int(b)))
+        else:
+            ranges.append((int(part), int(part)))
+
+    def pred(hole: Optional[int]) -> bool:
+        if hole is None:
+            return False
+        return any(a <= hole <= b for a, b in ranges)
+    return pred
+
+
+def hole_of(qname: str) -> Optional[int]:
+    parts = qname.split("/")
+    if len(parts) >= 2 and parts[1].isdigit():
+        return int(parts[1])
+    return None
+
+
+def parse_score_matrix(text: str):
+    """StringToScoreMatrix (Blasr.cpp:918-937): 25 whitespace-separated
+    values, |v| <= 100."""
+    vals = [int(x) for x in text.split()]
+    if len(vals) != 25 or any(abs(v) > 100 for v in vals):
+        raise ValueError(
+            "Error: the string for the scoring matrix incorrect format. "
+            "It should be a quoted, space separated string of 25 values.")
+    return [vals[i * 5:(i + 1) * 5] for i in range(5)]
 
 
 def params_from_args(args) -> MappingParams:
@@ -95,7 +186,38 @@ def params_from_args(args) -> MappingParams:
         fmt = f"m{args.printFormat}"
     return MappingParams(
         min_match_length=args.minMatch,
-        max_match_length=args.maxMatch,
+        max_match_length=(args.maxLCPLength if args.maxLCPLength is not None
+                          else args.maxMatch),
+        max_expand=args.maxExpand,
+        min_expand=args.minExpand,
+        p_value_type=args.pvaltype,
+        fast_max_interval=args.fastMaxInterval,
+        aggressive_interval_cut=args.aggressiveIntervalCut,
+        advance_half=args.advanceHalf,
+        sdp_tuple_size=args.sdpTupleSize,
+        sdp_ins=args.sdpIns,
+        sdp_del=args.sdpDel,
+        fast_sdp=args.fastSDP,
+        refine_between_anchors_only=args.refineBetweenAnchorsOnly,
+        refine_alignments=not args.noRefineAlignments,
+        use_guided_align=not args.noUseGuidedAlign,
+        band_size=args.bandSize,
+        guided_align_band_size=args.guidedAlignBandSize,
+        extend_alignments=args.extend,
+        max_extend_dropoff=args.maxExtendDropoff,
+        score_matrix=(parse_score_matrix(args.scoreMatrix)
+                      if args.scoreMatrix else None),
+        substitution_prior=args.substitutionPrior,
+        global_deletion_prior=args.deletionPrior,
+        concordant_template=args.concordantTemplate,
+        concordant_align_both_directions=args.concordantAlignBothDirections,
+        flank_size=args.flankSize,
+        refine_concordant_alignments=args.refineConcordantAlignments,
+        map_subreads_separately=not args.noSplitSubreads,
+        hole_number_ranges=args.holeNumbers or "",
+        title_table_name=args.titleTable or "",
+        print_sam_qv=args.printSAMQV,
+        print_subread_title=not args.noPrintSubreadTitle,
         max_anchors_per_position=args.maxAnchorsPerPosition,
         advance_exact_matches=args.advanceExactMatches,
         n_candidates=args.nCandidates,
@@ -169,8 +291,23 @@ def run(argv: Optional[List[str]] = None) -> int:
             continue
     # --start/--stride process-level sharding (Blasr.cpp:1270)
     reads = reads[params.start_read::max(1, params.stride)]
+    if params.hole_number_ranges:
+        pred = parse_hole_numbers(params.hole_number_ranges)
+        reads = [r for r in reads if pred(hole_of(r.name))]
 
-    mapper = Mapper(gi, params)
+    from blasr_tpu.pipeline.metrics import MappingMetrics
+    mapper = Mapper(gi, params, metrics=MappingMetrics(
+        store_list=args.fullMetrics is not None))
+    if args.anchors or args.clusters:
+        af = open(args.anchors, "w") if args.anchors else None
+        cf = open(args.clusters, "w") if args.clusters else None
+        try:
+            mapper.dump_debug(reads, af, cf)
+        finally:
+            if af:
+                af.close()
+            if cf:
+                cf.close()
     if params.concordant:
         from blasr_tpu.pipeline.zmw import map_concordant
         per_read = map_concordant(mapper, reads, params)
@@ -204,6 +341,12 @@ def run(argv: Optional[List[str]] = None) -> int:
     finally:
         if unaligned_f:
             unaligned_f.close()
+    if args.metrics:
+        with open(args.metrics, "w") as mf:
+            mapper.metrics.print_summary(mf)
+    if args.fullMetrics:
+        with open(args.fullMetrics, "w") as mf:
+            mapper.metrics.print_full(mf)
     log("ended.")
     return 0
 
@@ -211,12 +354,19 @@ def run(argv: Optional[List[str]] = None) -> int:
 def emit(out, unaligned_f, reads, per_read, gi, params, cmdline=""):
     fmt = params.print_format
     ref_ids = {n: i for i, n in enumerate(gi.seqdb.names)}
+    title_map = None
+    if params.title_table_name:
+        # TitleTable (Blasr.cpp:1149-1183): output tName becomes the
+        # title's index in the table file
+        with open(params.title_table_name) as tf:
+            titles = [ln.strip() for ln in tf if ln.strip()]
+        title_map = {t.split()[0]: i for i, t in enumerate(titles)}
     if fmt == "sam":
         out.write(formats.sam_header(gi, cmdline))
     elif fmt == "m4" and params.print_header:
         out.write(formats.M4_HEADER)
     for rec, alns in zip(reads, per_read):
-        store_map_qvs(alns, params)
+        store_map_qvs(alns, params, gi)
         rint = zmw_rand_int(rec.name, params.random_seed)
         chosen = select_alignments(alns, params, rint)
         if not chosen:
@@ -225,6 +375,13 @@ def emit(out, unaligned_f, reads, per_read, gi, params, cmdline=""):
                                         params.print_unaligned and False)
             continue
         for a in chosen:
+            if title_map is not None:
+                if a.tname in title_map:
+                    a.tname = str(title_map[a.tname])
+                else:
+                    sys.stderr.write(
+                        f"ERROR: title {a.tname} not in title table\n")
+                    raise SystemExit(1)
             if fmt == "bam":
                 out.write_record(formats.to_bam_record(a, params, ref_ids))
             elif fmt == "sam":

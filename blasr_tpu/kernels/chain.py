@@ -47,7 +47,7 @@ class Candidates(NamedTuple):
     parent: jnp.ndarray    # int32 [B, A] chain parent pointer (-1 = start)
 
 
-@functools.partial(jax.jit, static_argnames=("n_cand",))
+@functools.partial(jax.jit, static_argnames=("n_cand", "rank_by_pvalue"))
 def chain_anchors(
     anchors: Anchors,
     read_len: jnp.ndarray,       # int32 [B]
@@ -56,6 +56,10 @@ def chain_anchors(
     indel_rate: float = 0.3,
     drift_frac: float = 0.35,
     drift_slack: int = 50,
+    rank_by_pvalue: bool = False,
+    # rank_by_pvalue selects the interval-ranking weightor: False = total
+    # anchor bases (LISSizeWeightor), True = chain significance
+    # (LISPValueWeightor family, p-value types 0-2; BlasrHeaders.h:54-57)
 ) -> Candidates:
     q, t, l, valid = anchors.q, anchors.t, anchors.l, anchors.valid
     B, A = q.shape
@@ -131,9 +135,12 @@ def chain_anchors(
     q_end_all = qf + anchors.l
     t_end_all = tf + anchors.l
 
+    rank_key = (jnp.where(best > NEG * 0.5, sump, NEG)
+                if rank_by_pvalue else best)
+
     def select(carry, _):
         remaining, = carry
-        masked = jnp.where(remaining, best, NEG)
+        masked = jnp.where(remaining, rank_key, NEG)
         i_best = jnp.argmax(masked, axis=1)                   # [B]
         v = jnp.take_along_axis(masked, i_best[:, None], 1)[:, 0]
         ok = v > NEG * 0.5

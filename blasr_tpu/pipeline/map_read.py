@@ -173,7 +173,8 @@ def _band_offsets(mq, mt, ws, L, W, w_b):
     jax.jit,
     static_argnames=("cfg_k", "L", "W", "w_b", "C", "A", "O", "E", "T",
                      "max_chain", "min_match", "max_anchors_per_pos",
-                     "max_lcp", "indel_rate", "C_dp", "use_pallas"),
+                     "max_lcp", "indel_rate", "C_dp", "use_pallas",
+                     "p_value_type"),
 )
 def map_batch(
     index: DeviceIndex,
@@ -187,7 +188,8 @@ def map_batch(
     cfg_k: int, L: int, W: int, w_b: int, C: int, A: int, O: int, E: int,
     T: int, max_chain: int, min_match: int, max_anchors_per_pos: int,
     max_lcp: int, indel_rate: float, C_dp: int = 0, use_pallas: bool = False,
-) -> BatchResult:
+    p_value_type: int = 3,
+) -> PackedBatch:
     B = reads.shape[0]
     G = index.genome.shape[0]
 
@@ -202,7 +204,8 @@ def map_batch(
         max_lcp=max_lcp, bucket_starts=index.bucket_starts,
         gwords=index.gwords, gnwords=index.gnwords)
 
-    cands = chain_anchors(anchors, rlen2, n_cand=C, indel_rate=indel_rate)
+    cands = chain_anchors(anchors, rlen2, n_cand=C, indel_rate=indel_rate,
+                          rank_by_pvalue=p_value_type in (0, 1, 2))
     # significance gate: drop candidate intervals explainable by chance
     # (reference: anchor-distribution mapQV gate + LIS P-value,
     # BlasrAlignImpl.hpp:391-488)
@@ -446,13 +449,13 @@ class Mapper:
     CIGAR assembly, strand flips)."""
 
     def __init__(self, gi: GenomeIndex, params: MappingParams,
-                 cfg: Optional[ShapeConfig] = None, metrics=None):
+                 cfg: Optional[ShapeConfig] = None, metrics=None, dev=None):
         from blasr_tpu.pipeline.metrics import MappingMetrics
         self.gi = gi
         self.params = params.make_sane()
         self.cfg = cfg or ShapeConfig()
         self.metrics = metrics or MappingMetrics()
-        self.dev = DeviceIndex.from_host(gi)
+        self.dev = dev if dev is not None else DeviceIndex.from_host(gi)
         m = np.asarray(self.params.score_matrix, dtype=np.float32).reshape(25)
         self.submat = jnp.asarray(m)
         # the Pallas fast path assumes a two-valued matrix (match on the
@@ -509,7 +512,8 @@ class Mapper:
                     min_match=p.min_match_length,
                     max_anchors_per_pos=p.max_anchors_per_position,
                     max_lcp=p.max_match_length, indel_rate=p.indel_rate,
-                    C_dp=cfg.dp_cands, use_pallas=self.use_pallas)
+                    C_dp=cfg.dp_cands, use_pallas=self.use_pallas,
+                    p_value_type=p.p_value_type)
             pending.append((group, lens, res))
         # phase 2: collect (transfers overlap with later batches' compute)
         for group, lens, res in pending:
@@ -595,4 +599,87 @@ class Mapper:
             results = self._run_bucket([r for _, r in items], b, batch)
             for (j, _), alns in zip(items, results):
                 order[j] = alns
+        # expand-retry loop (reference minExpand..maxExpand,
+        # BlasrAlignImpl.hpp:319-336): reads with no alignment are retried
+        # with progressively looser anchoring (more seed occurrences and
+        # anchor capacity per retry)
+        for expand in range(1, p.max_expand + 1):
+            misses = [(j, r) for j, r in kept if not order[j]]
+            if not misses:
+                break
+            cfg = dataclasses.replace(
+                self.cfg,
+                occ_per_pos=self.cfg.occ_per_pos * 2 ** expand,
+                max_anchors=self.cfg.max_anchors * 2 ** expand)
+            retry = Mapper(self.gi, p, cfg, metrics=self.metrics,
+                           dev=self.dev)
+            rbuckets: Dict[int, List] = {}
+            for j, r in misses:
+                rbuckets.setdefault(cfg.bucket_for(len(r.seq)), []).append((j, r))
+            for b, items in sorted(rbuckets.items()):
+                batch = retry.batch_size_for(b)
+                results = retry._run_bucket([r for _, r in items], b, batch)
+                for (j, _), alns in zip(items, results):
+                    order[j] = alns
+        if p.extend_alignments:
+            from blasr_tpu.pipeline.extend import extend_alignment
+            with self.metrics.clock("extendAlignments"):
+                for alns in order.values():
+                    for a in alns:
+                        extend_alignment(a, self.gi, p)
         return [order[j] for j in range(len(recs))]
+
+    def dump_debug(self, recs: Sequence[FastaRecord],
+                   anchors_out=None, clusters_out=None) -> None:
+        """Debug taps: raw anchor dump (--anchors,
+        BlasrAlignImpl.hpp:62-87) and per-read cluster statistics
+        (--clusters, Blasr.cpp:1197-1204, BlasrAlignImpl.hpp:465-486)."""
+        from blasr_tpu.kernels.anchor import find_anchors
+        from blasr_tpu.kernels.chain import chain_anchors
+        cfg, p = self.cfg, self.params
+        if clusters_out is not None:
+            clusters_out.write(
+                "nBases qLength tLength nAnchors\n")
+        for rec in recs:
+            L = cfg.bucket_for(len(rec.seq))
+            arr = np.full((1, L), 4, dtype=np.int8)
+            n = min(len(rec.seq), L)
+            arr[0, :n] = rec.seq[:n]
+            reads2 = jnp.concatenate(
+                [jnp.asarray(arr), _revcomp_batch(
+                    jnp.asarray(arr), jnp.asarray([n], jnp.int32))])
+            rlen2 = jnp.asarray([n, n], jnp.int32)
+            anchors = find_anchors(
+                self.dev.genome, self.dev.keys_sorted, self.dev.pos_sorted,
+                reads2, rlen2, k=self.gi.k, occ_per_pos=cfg.occ_per_pos,
+                max_anchors=cfg.max_anchors, anchor_ext=cfg.anchor_ext,
+                min_match=p.min_match_length,
+                max_anchors_per_pos=p.max_anchors_per_position,
+                max_lcp=p.max_match_length,
+                bucket_starts=self.dev.bucket_starts,
+                gwords=self.dev.gwords, gnwords=self.dev.gnwords)
+            if anchors_out is not None:
+                q = np.asarray(anchors.q)
+                t = np.asarray(anchors.t)
+                ln = np.asarray(anchors.l)
+                v = np.asarray(anchors.valid)
+                for strand in (0, 1):
+                    for q_, t_, l_ in zip(q[strand][v[strand]],
+                                          t[strand][v[strand]],
+                                          ln[strand][v[strand]]):
+                        anchors_out.write(
+                            f"{rec.name} {int(q_)} {int(t_) - 1} {int(l_)} "
+                            f"{strand}\n")
+            if clusters_out is not None:
+                cands = chain_anchors(anchors, rlen2, n_cand=cfg.n_candidates,
+                                      indel_rate=p.indel_rate)
+                sc = np.asarray(cands.score)
+                na = np.asarray(cands.n_anchors)
+                cv = np.asarray(cands.valid)
+                for strand in (0, 1):
+                    for c in range(sc.shape[1]):
+                        if cv[strand, c]:
+                            clusters_out.write(
+                                f"{int(sc[strand, c])} {n} "
+                                f"{int(self.gi.glen)} "
+                                f"{int(na[strand, c])}\n")

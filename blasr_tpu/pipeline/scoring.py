@@ -1,0 +1,173 @@
+"""Score functions beyond the plain distance matrix.
+
+Reference parity for the score-function family
+(iblasr/BlasrAlignImpl.hpp:576-577,1241-1253; BlasrUtilsImpl.hpp:117-130):
+
+  * DistanceMatrixScoreFunction — the 5x5 SMRT matrix + indel costs (the
+    device kernels' native scoring; here for host rescoring).
+  * QualityValueScoreFunction — mismatch/insertion penalties scaled by the
+    read's per-base quality.
+  * IDSScoreFunction — insertion/deletion/substitution QV tracks with
+    substitutionPrior (20) and globalDeletionPrior (13) fallbacks
+    (RegisterBlasrOptions.h --substitutionPrior/--deletionPrior).
+  * SMRTLogProbMatrix-style log-probability rescoring used by StoreMapQVs
+    (BlasrUtilsImpl.hpp:117-130): alignments are re-scored as
+    log10 P(read | template) before the log-sum-exp mapQV.
+
+All functions score an existing alignment path (CIGAR + sequences) on the
+host, fully vectorized over alignment columns — the device DP optimizes
+with the distance matrix, and QV-aware scores apply at refinement/mapQV
+time, where the reference's tests actually observe them.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+OP_M, OP_I, OP_D = 0, 1, 2
+_OPC = {"M": OP_M, "=": OP_M, "X": OP_M, "I": OP_I, "D": OP_D}
+
+
+@dataclass
+class QVTracks:
+    """Per-base quality tracks (PacBio iq/dq/sq BAM tags; plain FASTQ
+    supplies only `qual`, used as the fallback for all three)."""
+
+    qual: Optional[np.ndarray] = None      # overall QV
+    ins_qv: Optional[np.ndarray] = None
+    del_qv: Optional[np.ndarray] = None
+    sub_qv: Optional[np.ndarray] = None
+
+    def get(self, kind: str) -> Optional[np.ndarray]:
+        v = getattr(self, kind)
+        return v if v is not None else self.qual
+
+
+def expand_cigar(cigar, qa: int, ta: int):
+    """(opc, qidx, tidx) per alignment column: op code (0 M / 1 I / 2 D)
+    plus the query/target position each column consumes (the position of
+    the last consumed base for the non-consuming side)."""
+    if not cigar:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    ops = np.asarray([_OPC[op] for op, _ in cigar], np.int64)
+    counts = np.asarray([n for _, n in cigar], np.int64)
+    opc = np.repeat(ops, counts)
+    dq = (opc != OP_D).astype(np.int64)
+    dt = (opc != OP_I).astype(np.int64)
+    qidx = qa + np.cumsum(dq) - dq
+    tidx = ta + np.cumsum(dt) - dt
+    return opc, qidx, tidx
+
+
+def _col_eq(opc, qidx, tidx, query, target):
+    q = np.asarray(query)
+    t = np.asarray(target)
+    qs = q[np.clip(qidx, 0, len(q) - 1)]
+    ts = t[np.clip(tidx, 0, len(t) - 1)]
+    return (qs == ts) & (qs < 4)
+
+
+def score_alignment_distance(cigar, query, target, qa, ta, *,
+                             score_matrix, ins: int, dele: int,
+                             affine: bool = False, affine_open: int = 10,
+                             affine_extend: int = 0) -> int:
+    """ComputeAlignmentScore (AlignmentUtils usage,
+    BlasrAlignImpl.hpp:1214-1217), optionally affine."""
+    m = np.asarray(score_matrix).reshape(5, 5)
+    opc, qidx, tidx = expand_cigar(cigar, qa, ta)
+    is_m = opc == OP_M
+    qs = np.asarray(query)[np.clip(qidx, 0, len(query) - 1)]
+    ts = np.asarray(target)[np.clip(tidx, 0, len(target) - 1)]
+    total = int(m[qs[is_m], ts[is_m]].sum())
+    if affine:
+        for op, n in cigar:
+            if op == "I":
+                total += affine_open + ins + affine_extend * (n - 1)
+            elif op == "D":
+                total += affine_open + dele + affine_extend * (n - 1)
+    else:
+        total += ins * int((opc == OP_I).sum())
+        total += dele * int((opc == OP_D).sum())
+    return total
+
+
+def score_alignment_qv(cigar, query, target, qa, ta,
+                       qv: np.ndarray) -> float:
+    """QualityValueScoreFunction analog: matches are free; mismatches and
+    insertions cost the base's QV (capped), deletions a fixed penalty."""
+    DEL_PENALTY = 15.0
+    opc, qidx, tidx = expand_cigar(cigar, qa, ta)
+    q = np.minimum(np.asarray(qv, np.float64)[np.clip(qidx, 0, len(qv) - 1)],
+                   40.0)
+    eq = _col_eq(opc, qidx, tidx, query, target)
+    total = float(q[(opc == OP_M) & ~eq].sum())
+    total += float(q[opc == OP_I].sum())
+    total += DEL_PENALTY * int((opc == OP_D).sum())
+    return total
+
+
+def score_alignment_ids(cigar, query, target, qa, ta, tracks: QVTracks, *,
+                        substitution_prior: int = 20,
+                        global_deletion_prior: int = 13) -> float:
+    """IDSScoreFunction analog: insertionQV for I columns, deletionQV of
+    the neighboring base for D columns (globalDeletionPrior fallback),
+    substitutionQV (or substitutionPrior) for mismatches."""
+    iq, dq, sq = tracks.get("ins_qv"), tracks.get("del_qv"), tracks.get("sub_qv")
+    opc, qidx, tidx = expand_cigar(cigar, qa, ta)
+    eq = _col_eq(opc, qidx, tidx, query, target)
+    total = 0.0
+    mis = (opc == OP_M) & ~eq
+    if sq is not None:
+        sv = np.minimum(np.asarray(sq, np.float64)[
+            np.clip(qidx, 0, len(sq) - 1)], 40.0)
+        total += float(sv[mis].sum())
+    else:
+        total += float(substitution_prior) * int(mis.sum())
+    ins_cols = opc == OP_I
+    if iq is not None:
+        iv = np.minimum(np.asarray(iq, np.float64)[
+            np.clip(qidx, 0, len(iq) - 1)], 40.0)
+        total += float(iv[ins_cols].sum())
+    else:
+        total += 15.0 * int(ins_cols.sum())
+    del_cols = opc == OP_D
+    if dq is not None:
+        dv = np.minimum(np.asarray(dq, np.float64)[
+            np.clip(qidx, 0, len(dq) - 1)], 40.0)
+        total += float(dv[del_cols].sum())
+    else:
+        total += float(global_deletion_prior) * int(del_cols.sum())
+    return total
+
+
+def log10_prob_alignment(cigar, query, target, qa, ta,
+                         tracks: Optional[QVTracks] = None,
+                         read_accuracy_prior: float = 0.85) -> float:
+    """log10 P(read | template placement) over the alignment path — the
+    SMRTLogProbMatrix rescore feeding StoreMapQVs' log-sum-exp
+    (BlasrUtilsImpl.hpp:117-130,236-304).
+
+    With QVs: per-base error probabilities from the track.  Without:
+    fixed priors derived from read_accuracy_prior.
+    """
+    opc, qidx, tidx = expand_cigar(cigar, qa, ta)
+    if len(opc) == 0:
+        return -1e9
+    eq = _col_eq(opc, qidx, tidx, query, target)
+    qv = tracks.qual if tracks is not None else None
+    if qv is not None and len(qv):
+        qvv = np.minimum(np.asarray(qv, np.float64)[
+            np.clip(qidx, 0, len(qv) - 1)], 93.0)
+        pe = np.maximum(10.0 ** (-qvv / 10.0), 1e-10)
+    else:
+        pe = np.full(len(opc), max(1.0 - read_accuracy_prior, 1e-4))
+    lm = np.log10(np.maximum(1.0 - pe, 1e-10))
+    lx = np.log10(pe / 3.0)
+    lg = np.log10(pe / 2.0)
+    contrib = np.where(opc == OP_M, np.where(eq, lm, lx), lg)
+    return float(contrib.sum())

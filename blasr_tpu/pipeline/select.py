@@ -56,9 +56,31 @@ def partition_overlapping(alns: Sequence[Alignment],
     return groups
 
 
-def store_map_qvs(alns: List[Alignment], params: MappingParams) -> None:
+def _log10_likelihood(a: Alignment, params: MappingParams, gi) -> float:
+    """Rescore one alignment as log10 P(read | placement) — the
+    SMRTLogProbMatrix rescore (BlasrUtilsImpl.hpp:117-130).  Falls back to
+    a score-proportional likelihood when the CIGAR/genome is unavailable."""
+    if gi is None or not a.cigar or a.read is None:
+        return -a.score * _LAMBDA / math.log(10.0)
+    from blasr_tpu.io.fasta import revcomp
+    from blasr_tpu.pipeline.scoring import QVTracks, log10_prob_alignment
+    if a.strand == 0:
+        oread, qa = a.read, a.qstart
+        qual = a.qual
+    else:
+        oread, qa = revcomp(a.read), a.qlen - a.qend
+        qual = a.qual[::-1] if a.qual is not None else None
+    gs = gi.seqdb.chrom_to_genome(a.tindex, a.tstart)
+    ge = gi.seqdb.chrom_to_genome(a.tindex, a.tend)
+    tracks = QVTracks(qual=qual)
+    return log10_prob_alignment(a.cigar, oread, gi.genome[gs:ge], qa, 0,
+                                tracks, params.read_accuracy_prior)
+
+
+def store_map_qvs(alns: List[Alignment], params: MappingParams,
+                  gi=None) -> None:
     """Assign mapQV per alignment: Phred of 1 - P(this | its overlap group),
-    with P from a log-sum-exp over group scores
+    with P from a log-sum-exp over log-prob-rescored group members
     (StoreMapQVs, BlasrUtilsImpl.hpp:236-304)."""
     if not alns:
         return
@@ -67,11 +89,11 @@ def store_map_qvs(alns: List[Alignment], params: MappingParams) -> None:
         if len(g) == 1:
             alns[g[0]].map_qv = MAX_PHRED_SCORE
             continue
-        lls = np.array([-alns[i].score * _LAMBDA for i in g])
+        lls = np.array([_log10_likelihood(alns[i], params, gi) for i in g])
         mx = lls.max()
-        lse = mx + math.log(np.exp(lls - mx).sum())
+        lse = mx + math.log10(np.power(10.0, lls - mx).sum())
         for k, i in enumerate(g):
-            p = math.exp(lls[k] - lse)
+            p = 10.0 ** (lls[k] - lse)
             if p >= 1.0:
                 qv = MAX_PHRED_SCORE
             else:

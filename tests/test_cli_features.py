@@ -1,0 +1,79 @@
+"""CLI feature coverage: holeNumbers, titleTable, metrics, debug taps,
+expand retry, scoreMatrix parsing (reference flags in
+RegisterBlasrOptions.h; taps BlasrAlignImpl.hpp:62-87,465-486)."""
+
+import numpy as np
+import pytest
+
+from blasr_tpu.cli.blasr import (
+    hole_of, parse_hole_numbers, parse_score_matrix, run)
+from blasr_tpu.io.fasta import FastaRecord, write_fasta
+from blasr_tpu.sim import random_genome, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cliw")
+    contigs = random_genome(60_000, seed=61, n_contigs=2)
+    sims = simulate_reads(contigs, 8, read_len=(300, 700), accuracy=0.87,
+                          seed=62)
+    recs = [FastaRecord(f"movie/{i}/0_{len(s.rec.seq)}", s.rec.seq)
+            for i, s in enumerate(sims)]
+    write_fasta(d / "genome.fa", contigs)
+    write_fasta(d / "reads.fa", recs)
+    (d / "titles.txt").write_text(
+        "\n".join(c.name for c in contigs) + "\n")
+    return d, contigs
+
+
+def test_parse_helpers():
+    pred = parse_hole_numbers("1,3-5,9")
+    assert [h for h in range(11) if pred(h)] == [1, 3, 4, 5, 9]
+    assert hole_of("movie/42/0_100") == 42
+    assert hole_of("plainname") is None
+    m = parse_score_matrix(" ".join(["1"] * 25))
+    assert len(m) == 5 and all(len(r) == 5 for r in m)
+    with pytest.raises(ValueError):
+        parse_score_matrix("1 2 3")
+
+
+def test_hole_numbers_and_title_table(world, capsys):
+    d, contigs = world
+    assert run([str(d / "reads.fa"), str(d / "genome.fa"), "-m", "4",
+                "--holeNumbers", "0-2,5",
+                "--titleTable", str(d / "titles.txt"),
+                "--out", str(d / "out.m4")]) == 0
+    lines = open(d / "out.m4").read().strip().splitlines()
+    holes = {int(l.split()[0].split("/")[1]) for l in lines}
+    assert holes <= {0, 1, 2, 5}
+    assert {l.split()[1] for l in lines} <= {"0", "1"}  # title indices
+
+
+def test_metrics_and_taps(world):
+    d, contigs = world
+    assert run([str(d / "reads.fa"), str(d / "genome.fa"), "-m", "1",
+                "--metrics", str(d / "met.txt"),
+                "--anchors", str(d / "anch.txt"),
+                "--clusters", str(d / "clus.txt"),
+                "--out", str(d / "out.m1")]) == 0
+    met = open(d / "met.txt").read()
+    assert "mapToGenome" in met and "numReads" in met
+    anch = open(d / "anch.txt").read().strip().splitlines()
+    assert len(anch) > 10
+    f = anch[0].split()
+    assert len(f) == 5 and f[4] in "01"
+    clus = open(d / "clus.txt").read().strip().splitlines()
+    assert clus[0].startswith("nBases")
+
+
+def test_score_matrix_flag_forces_xla_kernel(world):
+    d, contigs = world
+    # non-uniform matrix must still produce alignments (XLA fallback path)
+    mat = []
+    for i in range(5):
+        for j in range(5):
+            mat.append("-5" if i == j and i < 4 else str(6 + (i + j) % 2))
+    assert run([str(d / "reads.fa"), str(d / "genome.fa"), "-m", "4",
+                "--scoreMatrix", " ".join(mat),
+                "--out", str(d / "sm.m4")]) == 0
+    assert len(open(d / "sm.m4").read().strip().splitlines()) >= 5

@@ -1,0 +1,101 @@
+"""Extension (ExtendAlign) and QV-aware score-function tests
+(iblasr/BlasrAlignImpl.hpp:1011-1203; score functions
+BlasrAlignImpl.hpp:1241-1253)."""
+
+import numpy as np
+
+from blasr_tpu.index import build_genome_index
+from blasr_tpu.params import MappingParams, ShapeConfig
+from blasr_tpu.pipeline.map_read import Mapper
+from blasr_tpu.pipeline.scoring import (
+    QVTracks, expand_cigar, log10_prob_alignment, score_alignment_distance,
+    score_alignment_ids, score_alignment_qv)
+from blasr_tpu.pipeline.select import store_map_qvs
+from blasr_tpu.sim import random_genome, simulate_reads
+
+
+def test_expand_cigar_coords():
+    opc, qidx, tidx = expand_cigar([("M", 3), ("I", 2), ("D", 1), ("M", 1)],
+                                   10, 100)
+    assert list(opc) == [0, 0, 0, 1, 1, 2, 0]
+    # non-consuming columns point at the NEXT position on their side
+    # (deletion columns price the following base's deletion QV)
+    assert list(qidx) == [10, 11, 12, 13, 14, 15, 15]
+    assert list(tidx) == [100, 101, 102, 103, 103, 103, 104]
+
+
+def test_distance_score_matches_manual():
+    q = np.array([0, 1, 2, 3, 0, 1], np.int8)
+    t = np.array([0, 1, 2, 2, 0, 1], np.int8)
+    m = MappingParams().make_sane().score_matrix
+    s = score_alignment_distance([("M", 6)], q, t, 0, 0,
+                                 score_matrix=m, ins=4, dele=5)
+    assert s == 5 * (-5) + 6  # 5 matches, 1 mismatch
+    s2 = score_alignment_distance([("M", 3), ("I", 2), ("M", 1)],
+                                  q, t[:4], 0, 0,
+                                  score_matrix=m, ins=4, dele=5)
+    assert s2 == 3 * (-5) + 2 * 4 + 6  # 3 matches, 2 ins, then a mismatch
+
+
+def test_qv_and_ids_scores_penalize_errors():
+    q = np.array([0, 1, 2, 3], np.int8)
+    t = np.array([0, 1, 0, 3], np.int8)   # one mismatch at col 2
+    qv = np.array([30, 30, 10, 30])
+    s_low = score_alignment_qv([("M", 4)], q, t, 0, 0, qv)
+    assert s_low == 10.0  # mismatch priced at its own QV
+    tracks = QVTracks(qual=qv, sub_qv=np.array([5, 5, 5, 5]))
+    s_ids = score_alignment_ids([("M", 4)], q, t, 0, 0, tracks)
+    assert s_ids == 5.0
+    s_prior = score_alignment_ids([("M", 4)], q, t, 0, 0, QVTracks())
+    assert s_prior == 20.0  # substitutionPrior
+
+
+def test_log_prob_orders_by_quality():
+    q = np.array([0, 1, 2, 3] * 5, np.int8)
+    t_good = q.copy()
+    t_bad = q.copy()
+    t_bad[::4] = (t_bad[::4] + 1) % 4
+    lp_good = log10_prob_alignment([("M", 20)], q, t_good, 0, 0)
+    lp_bad = log10_prob_alignment([("M", 20)], q, t_bad, 0, 0)
+    assert lp_good > lp_bad
+
+
+def test_mapqv_discriminates_with_logprob(small_index):
+    # two near-identical placements -> low mapQV; unique -> 254
+    from blasr_tpu.pipeline.map_read import Alignment
+    q = np.zeros(100, np.int8)
+    a1 = Alignment("r", 100, 0, 100, 0, 0, "c", 1000, 0, 100, -500,
+                   100, 0, 0, 0, cigar=[("M", 100)], read=q)
+    a2 = Alignment("r", 100, 0, 100, 0, 0, "c", 1000, 500, 600, -500,
+                   98, 2, 0, 0, cigar=[("M", 100)], read=q)
+    p = MappingParams().make_sane()
+    store_map_qvs([a1, a2], p)
+    assert a1.map_qv < 254
+
+
+def test_extend_recovers_trimmed_ends():
+    contigs = random_genome(60_000, seed=51)
+    gi = build_genome_index(contigs, k=12)
+    sims = simulate_reads(contigs, 6, read_len=(400, 700), accuracy=0.9,
+                          seed=52)
+    p = MappingParams(extend_alignments=True, min_read_length=50).make_sane()
+    m_ext = Mapper(gi, p, ShapeConfig(buckets=(1024,), batch_size=8))
+    p0 = MappingParams(min_read_length=50).make_sane()
+    m_no = Mapper(gi, p0, ShapeConfig(buckets=(1024,), batch_size=8))
+    recs = [s.rec for s in sims]
+    r_ext = m_ext.map_reads(recs)
+    r_no = m_no.map_reads(recs)
+    spans_ext = sum((a.qend - a.qstart) for alns in r_ext for a in alns[:1])
+    spans_no = sum((a.qend - a.qstart) for alns in r_no for a in alns[:1])
+    assert spans_ext >= spans_no
+    # invariants hold after extension
+    for alns in r_ext:
+        for a in alns:
+            qc = sum(n for op, n in a.cigar if op in "MI=X")
+            tc = sum(n for op, n in a.cigar if op in "MD=X")
+            qa = a.qstart if a.strand == 0 else a.qlen - a.qend
+            qb = a.qend if a.strand == 0 else a.qlen - a.qstart
+            assert qc == qb - qa
+            assert tc == a.tend - a.tstart
+            assert 0 <= a.qstart <= a.qend <= a.qlen
+            assert 0 <= a.tstart <= a.tend <= a.tlen
