@@ -279,6 +279,11 @@ def run(argv: Optional[List[str]] = None) -> int:
         contigs = read_fasta(args.genome)
         gi = build_genome_index(
             contigs, k=min(params.min_match_length, 16))
+    if args.ctab:
+        # precomputed tuple count table (printTupleCountTable artifact;
+        # reference --ctab, Blasr.cpp:1136-1147)
+        from blasr_tpu.cli.small_tools import load_ctab
+        gi.ctab_k, gi.ctab = load_ctab(args.ctab)
 
     reads = []
     for path in expand_file_name_list([args.reads]):

@@ -121,12 +121,15 @@ def sniff_format(path: str) -> str:
         (".fasta", "fasta"), (".fa", "fasta"), (".fsta", "fasta"), (".fna", "fasta"),
         (".fastq", "fastq"), (".fq", "fastq"),
         (".bam", "bam"), (".sam", "sam"), (".fofn", "fofn"), (".xml", "dataset"),
+        (".h5", "hdf"),
     ):
         if lower.endswith(ext) or lower.endswith(ext + ".gz"):
             return kind
     with _open(path) as f:
-        first = f.read(1)
-    return {b">": "fasta", b"@": "fastq"}.get(first, "unknown")
+        first = f.read(8)
+    if first == b"\x89HDF\r\n\x1a\n":
+        return "hdf"
+    return {b">": "fasta", b"@": "fastq"}.get(first[:1], "unknown")
 
 
 def read_sequences(path: str) -> List[FastaRecord]:
@@ -144,6 +147,13 @@ def read_sequences(path: str) -> List[FastaRecord]:
     if kind == "bam" or kind == "sam":
         from blasr_tpu.io.bam import read_bam_records
         return read_bam_records(path)
+    if kind == "hdf":
+        from blasr_tpu.io.hdf import BaxReader
+        rdr = BaxReader(path)
+        try:
+            return rdr.subreads()
+        finally:
+            rdr.close()
     raise ValueError(f"unsupported input format for {path}")
 
 

@@ -1,0 +1,215 @@
+"""HDF5 (bax.h5 / bas.h5 / plx.h5 / ccs.h5) I/O via h5py.
+
+Reference parity for the libpbihdf layer (``HDFBasReader``,
+``HDFRegionTableReader``, ``HDFPlsReader`` usage: Blasr.cpp:22,1276,1364,
+1367-1402) and the region-table semantics of ``MakePrimaryIntervals``
+(Blasr.cpp:89-179): per-ZMW Insert regions clipped to the HQ region become
+subread intervals; ``-noSplitSubreads`` takes the whole HQ span.
+
+Layout written/read (bas.h5 1.x conventions):
+  /PulseData/BaseCalls/Basecall            uint8 ASCII, ZMW-concatenated
+  /PulseData/BaseCalls/{QualityValue,InsertionQV,DeletionQV,
+                        SubstitutionQV,MergeQV}   uint8 (optional)
+  /PulseData/BaseCalls/{DeletionTag,SubstitutionTag} uint8 ASCII (optional)
+  /PulseData/BaseCalls/ZMW/{HoleNumber,NumEvent,HoleStatus}
+  /PulseData/Regions                       int32 [n, 5] + RegionTypes attr
+  /ScanData/RunInfo                        attrs: MovieName
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from blasr_tpu.io.fasta import FastaRecord, encode
+
+REGION_TYPES = ["Adapter", "Insert", "HQRegion"]
+REGION_COLUMNS = ["HoleNumber", "RegionType", "RegionStart", "RegionEnd",
+                  "RegionScore"]
+QV_TRACKS = ["QualityValue", "InsertionQV", "DeletionQV", "SubstitutionQV",
+             "MergeQV"]
+TAG_TRACKS = ["DeletionTag", "SubstitutionTag"]
+
+
+@dataclass
+class RegionTable:
+    """Per-ZMW region rows (HDFRegionTableReader analog)."""
+
+    rows: np.ndarray                      # int32 [n, 5]
+    types: List[str] = field(default_factory=lambda: list(REGION_TYPES))
+
+    def _type_id(self, name: str) -> int:
+        return self.types.index(name)
+
+    def for_hole(self, hole: int) -> np.ndarray:
+        return self.rows[self.rows[:, 0] == hole]
+
+    def hq_region(self, hole: int) -> Optional[Tuple[int, int, int]]:
+        """(start, end, score) of the HQ region, or None
+        (LookupHQRegion analog)."""
+        tid = self._type_id("HQRegion")
+        r = self.for_hole(hole)
+        r = r[r[:, 1] == tid]
+        if len(r) == 0:
+            return None
+        return int(r[0, 2]), int(r[0, 3]), int(r[0, 4])
+
+    def insert_intervals(self, hole: int) -> List[Tuple[int, int]]:
+        tid = self._type_id("Insert")
+        r = self.for_hole(hole)
+        r = r[r[:, 1] == tid]
+        return [(int(a), int(b)) for a, b in zip(r[:, 2], r[:, 3])]
+
+    def subread_intervals(self, hole: int, min_score: int = 0,
+                          split: bool = True) -> List[Tuple[int, int]]:
+        """Insert regions clipped to the HQ region
+        (GetHighQualitySubreadsIntervals; MakePrimaryIntervals
+        Blasr.cpp:89-179).  split=False returns the whole HQ span
+        (-noSplitSubreads)."""
+        hq = self.hq_region(hole)
+        if hq is not None and hq[2] < min_score:
+            return []
+        lo, hi = (hq[0], hq[1]) if hq is not None else (0, 1 << 30)
+        if not split:
+            return [(lo, hi)] if hi > lo else []
+        out = []
+        for a, b in self.insert_intervals(hole):
+            a2, b2 = max(a, lo), min(b, hi)
+            if b2 > a2:
+                out.append((a2, b2))
+        if not out and hq is None:
+            return []
+        return out
+
+
+@dataclass
+class ZmwRead:
+    hole: int
+    seq: np.ndarray                        # codes 0..4
+    tracks: Dict[str, np.ndarray] = field(default_factory=dict)
+
+
+class BaxReader:
+    """Read a bax/bas/plx/ccs .h5 movie file."""
+
+    def __init__(self, path: str):
+        import h5py
+        self.h5 = h5py.File(path, "r")
+        base = "PulseData/BaseCalls"
+        if base not in self.h5 and "PulseData/ConsensusBaseCalls" in self.h5:
+            base = "PulseData/ConsensusBaseCalls"   # ccs.h5
+        self.base = base
+        bc = self.h5[base]
+        self.holes = np.asarray(bc["ZMW/HoleNumber"])
+        self.num_event = np.asarray(bc["ZMW/NumEvent"])
+        self.offsets = np.concatenate(
+            [[0], np.cumsum(self.num_event)]).astype(np.int64)
+        self.movie = "movie"
+        if "ScanData/RunInfo" in self.h5:
+            attrs = self.h5["ScanData/RunInfo"].attrs
+            if "MovieName" in attrs:
+                v = attrs["MovieName"]
+                self.movie = v.decode() if isinstance(v, bytes) else str(v)
+        self.region_table = None
+        if "PulseData/Regions" in self.h5:
+            ds = self.h5["PulseData/Regions"]
+            types = list(REGION_TYPES)
+            if "RegionTypes" in ds.attrs:
+                types = [t.decode() if isinstance(t, bytes) else str(t)
+                         for t in ds.attrs["RegionTypes"]]
+            self.region_table = RegionTable(np.asarray(ds), types)
+
+    def read_zmw(self, i: int) -> ZmwRead:
+        bc = self.h5[self.base]
+        a, b = int(self.offsets[i]), int(self.offsets[i + 1])
+        seq = encode(bytes(np.asarray(bc["Basecall"][a:b])))
+        tracks = {}
+        for t in QV_TRACKS + TAG_TRACKS:
+            if t in bc:
+                tracks[t] = np.asarray(bc[t][a:b])
+        return ZmwRead(int(self.holes[i]), seq, tracks)
+
+    def subreads(self, min_score: int = 0, split: bool = True,
+                 with_quals: bool = True) -> List[FastaRecord]:
+        """All subread records, named movie/hole/start_end
+        (the ReaderAgglomerate HDF input path)."""
+        out: List[FastaRecord] = []
+        for i in range(len(self.holes)):
+            z = self.read_zmw(i)
+            if self.region_table is not None:
+                ivals = self.region_table.subread_intervals(
+                    z.hole, min_score, split)
+            else:
+                ivals = [(0, len(z.seq))] if len(z.seq) else []
+            for s, e in ivals:
+                e = min(e, len(z.seq))
+                if e <= s:
+                    continue
+                qual = None
+                if with_quals and "QualityValue" in z.tracks:
+                    qual = z.tracks["QualityValue"][s:e].astype(np.int32)
+                out.append(FastaRecord(
+                    f"{self.movie}/{z.hole}/{s}_{e}", z.seq[s:e], qual))
+        return out
+
+    def close(self) -> None:
+        self.h5.close()
+
+
+def write_bax(path: str, movie: str, zmws: Sequence[ZmwRead],
+              regions: Optional[np.ndarray] = None,
+              ccs: bool = False) -> None:
+    """Write a bax/ccs .h5 movie file from per-ZMW reads."""
+    import h5py
+    from blasr_tpu.io.fasta import decode
+    base = ("PulseData/ConsensusBaseCalls" if ccs
+            else "PulseData/BaseCalls")
+    with h5py.File(path, "w") as h5:
+        bc = h5.create_group(base)
+        seqs = b"".join(decode(z.seq).encode() for z in zmws)
+        bc.create_dataset("Basecall",
+                          data=np.frombuffer(seqs, dtype=np.uint8))
+        present = set()
+        for z in zmws:
+            present.update(z.tracks)
+        for t in sorted(present):
+            parts = []
+            for z in zmws:
+                v = z.tracks.get(t)
+                if v is None:
+                    v = np.zeros(len(z.seq), np.uint8)
+                parts.append(np.asarray(v, np.uint8))
+            bc.create_dataset(t, data=np.concatenate(parts)
+                              if parts else np.zeros(0, np.uint8))
+        zg = bc.create_group("ZMW")
+        zg.create_dataset(
+            "HoleNumber",
+            data=np.asarray([z.hole for z in zmws], np.uint32))
+        zg.create_dataset(
+            "NumEvent",
+            data=np.asarray([len(z.seq) for z in zmws], np.uint32))
+        zg.create_dataset(
+            "HoleStatus", data=np.zeros(len(zmws), np.uint8))
+        if regions is not None:
+            ds = h5.create_dataset(
+                "PulseData/Regions", data=np.asarray(regions, np.int32))
+            ds.attrs["RegionTypes"] = np.array(
+                [t.encode() for t in REGION_TYPES])
+            ds.attrs["ColumnNames"] = np.array(
+                [c.encode() for c in REGION_COLUMNS])
+        sd = h5.create_group("ScanData/RunInfo")
+        sd.attrs["MovieName"] = movie.encode()
+
+
+def is_hdf(path: str) -> bool:
+    low = path.lower()
+    if low.endswith((".bax.h5", ".bas.h5", ".plx.h5", ".pls.h5", ".ccs.h5",
+                     ".h5")):
+        return True
+    try:
+        with open(path, "rb") as f:
+            return f.read(8) == b"\x89HDF\r\n\x1a\n"
+    except OSError:
+        return False

@@ -1,0 +1,160 @@
+"""HDF5 tool-chain tests: bax.h5 read/write, region-table subread
+extraction, pls2fasta, bax2bam/bam2bax roundtrip, samtoh5 + loadPulses +
+cmpH5StoreQualityByContext (reference utils/PulseToFasta.cpp, bax2bam/,
+bam2bax/, SamToCmpH5.cpp, LoadPulses.cpp, CmpH5StoreQualityByContext)."""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from blasr_tpu.io.fasta import write_fasta
+from blasr_tpu.io.hdf import (REGION_TYPES, BaxReader, RegionTable, ZmwRead,
+                              write_bax)
+from blasr_tpu.sim import random_genome, simulate_reads
+
+INS = REGION_TYPES.index("Insert")
+HQ = REGION_TYPES.index("HQRegion")
+
+
+@pytest.fixture(scope="module")
+def bax_world(tmp_path_factory):
+    """A movie with 3 ZMWs whose inserts come from a genome."""
+    d = tmp_path_factory.mktemp("bax")
+    contigs = random_genome(30_000, seed=71)
+    sims = simulate_reads(contigs, 6, read_len=(200, 400), accuracy=0.9,
+                          seed=72)
+    rng = np.random.default_rng(73)
+    zmws, regions = [], []
+    si = 0
+    for hole in (9, 17, 23):
+        # polymerase read = junk + insert + adapter + insert + junk
+        parts, rows = [], []
+        pos = 0
+        parts.append(rng.integers(0, 4, 50).astype(np.int8))
+        pos += 50
+        for _ in range(2):
+            ins = sims[si].rec.seq
+            si += 1
+            rows.append([hole, INS, pos, pos + len(ins), -1])
+            parts.append(ins)
+            pos += len(ins)
+            parts.append(rng.integers(0, 4, 45).astype(np.int8))  # adapter
+            pos += 45
+        seq = np.concatenate(parts)
+        hq_start, hq_end = 30, len(seq) - 20
+        rows.append([hole, HQ, hq_start, hq_end, 850])
+        tracks = {
+            "QualityValue": rng.integers(10, 40, len(seq)).astype(np.uint8),
+            "InsertionQV": rng.integers(5, 30, len(seq)).astype(np.uint8),
+            "DeletionQV": rng.integers(5, 30, len(seq)).astype(np.uint8),
+            "SubstitutionQV": rng.integers(5, 30, len(seq)).astype(np.uint8),
+        }
+        zmws.append(ZmwRead(hole, seq, tracks))
+        regions.extend(rows)
+    path = d / "movie1.bax.h5"
+    write_bax(str(path), "m000001", zmws, np.asarray(regions, np.int32))
+    write_fasta(d / "genome.fa", contigs)
+    return d, path, contigs, zmws
+
+
+def test_bax_roundtrip_and_regions(bax_world):
+    d, path, contigs, zmws = bax_world
+    rdr = BaxReader(str(path))
+    assert rdr.movie == "m000001"
+    assert list(rdr.holes) == [9, 17, 23]
+    z = rdr.read_zmw(0)
+    np.testing.assert_array_equal(z.seq, zmws[0].seq)
+    np.testing.assert_array_equal(z.tracks["QualityValue"],
+                                  zmws[0].tracks["QualityValue"])
+    subs = rdr.subreads()
+    assert len(subs) == 6  # 2 inserts x 3 holes, all inside HQ
+    for s in subs:
+        movie, hole, span = s.name.split("/")
+        a, b = (int(x) for x in span.split("_"))
+        assert b - a == len(s.seq)
+        assert s.qual is not None
+    # HQ clipping: an insert outside HQ is dropped
+    rt = rdr.region_table
+    assert rt.subread_intervals(9, min_score=900) == []  # score gate
+    rdr.close()
+
+
+def test_blasr_maps_bax_input(bax_world, tmp_path):
+    from blasr_tpu.cli.blasr import run
+    d, path, contigs, zmws = bax_world
+    out = tmp_path / "out.m4"
+    assert run([str(path), str(d / "genome.fa"), "-m", "4",
+                "--minReadLength", "50", "--out", str(out)]) == 0
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) >= 5
+    assert all(l.split()[0].startswith("m000001/") for l in lines)
+
+
+def test_pls2fasta(bax_world, tmp_path):
+    from blasr_tpu.cli.pls2fasta import run
+    d, path, contigs, zmws = bax_world
+    out = tmp_path / "reads.fq"
+    assert run([str(path), str(out), "-trimByRegion", "-fastq"]) == 0
+    text = open(out).read().splitlines()
+    assert len(text) == 4 * 6
+    assert text[0].startswith("@m000001/9/")
+    # holeNumber filter
+    out2 = tmp_path / "r2.fa"
+    assert run([str(path), str(out2), "-trimByRegion",
+                "-holeNumber", "17"]) == 0
+    names = [l for l in open(out2) if l.startswith(">")]
+    assert len(names) == 2 and all("/17/" in n for n in names)
+
+
+def test_bax2bam_bam2bax_roundtrip(bax_world, tmp_path):
+    from blasr_tpu.cli.bam2bax import run as b2x
+    from blasr_tpu.cli.bax2bam import run as x2b
+    d, path, contigs, zmws = bax_world
+    pre = str(tmp_path / "rt")
+    assert x2b([str(path), "-o", pre]) == 0
+    from blasr_tpu.io.bam import read_bam
+    _, _, _, recs = read_bam(pre + ".subreads.bam")
+    assert len(recs) == 6
+    assert all(r.flag == 4 for r in recs)
+    assert all("iq" in r.tags and "dq" in r.tags for r in recs)
+    assert b2x([pre + ".subreads.bam", "-o", pre]) == 0
+    rdr = BaxReader(pre + ".bax.h5")
+    subs = rdr.subreads()
+    assert len(subs) == 6
+    orig = BaxReader(str(path)).subreads()
+    for a, b in zip(sorted(subs, key=lambda r: r.name),
+                    sorted(orig, key=lambda r: r.name)):
+        assert a.name == b.name
+        np.testing.assert_array_equal(a.seq, b.seq)
+    rdr.close()
+
+
+def test_samtoh5_loadpulses_context(bax_world, tmp_path):
+    from blasr_tpu.cli.blasr import run as blasr_run
+    from blasr_tpu.cli.cmph5_store_quality_by_context import run as ctx_run
+    from blasr_tpu.cli.load_pulses import run as lp_run
+    from blasr_tpu.cli.sam_to_h5 import run as s2h_run
+    d, path, contigs, zmws = bax_world
+    sam = tmp_path / "out.sam"
+    assert blasr_run([str(path), str(d / "genome.fa"), "--sam",
+                      "--clipping", "soft", "--minReadLength", "50",
+                      "--out", str(sam)]) == 0
+    cmp_path = tmp_path / "aln.cmp.h5"
+    assert s2h_run([str(sam), str(d / "genome.fa"), str(cmp_path),
+                    "-smrtTitle"]) == 0
+    with h5py.File(cmp_path, "r") as h5:
+        idx = np.asarray(h5["AlnInfo/AlnIndex"])
+        assert idx.shape[0] >= 5 and idx.shape[1] == 22
+        assert "RefGroup/Path" in h5
+    assert lp_run([str(path), str(cmp_path)]) == 0
+    with h5py.File(cmp_path, "r") as h5:
+        paths = [p.decode() for p in h5["AlnGroup/Path"]]
+        assert any(p + "/QualityValue" in h5 for p in paths)
+    table = tmp_path / "ctx.txt"
+    assert ctx_run([str(cmp_path), str(table)]) == 0
+    lines = open(table).read().strip().splitlines()
+    assert lines[0] == "context meanQV count"
+    assert len(lines) > 10
+    ctx, mean, cnt = lines[1].split()
+    assert len(ctx) == 3 and 0 <= float(mean) <= 93

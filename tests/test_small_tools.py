@@ -1,0 +1,110 @@
+"""Small companion tools (SURVEY.md §2.7: toAfg, printTupleCountTable,
+sals, samodify, evolve, exciseRepeats, simpleShredder, bsdb)."""
+
+import numpy as np
+import pytest
+
+from blasr_tpu.cli import small_tools as st
+from blasr_tpu.io.fasta import read_fasta, read_fastq, write_fasta
+from blasr_tpu.sim import random_genome
+
+
+@pytest.fixture(scope="module")
+def genome_fa(tmp_path_factory):
+    d = tmp_path_factory.mktemp("smalltools")
+    contigs = random_genome(8000, seed=81, n_contigs=2)
+    write_fasta(d / "g.fa", contigs)
+    return d, contigs
+
+
+def test_to_afg(genome_fa, tmp_path):
+    d, contigs = genome_fa
+    out = tmp_path / "reads.afg"
+    assert st.run_to_afg([str(d / "g.fa"), str(out), "-uniformQV", "15"]) == 0
+    text = open(out).read()
+    assert text.count("{RED") == 2
+    assert "iid:1" in text and "eid:" in text and "qlt:" in text
+
+
+def test_print_tuple_count_table_and_load(genome_fa, tmp_path):
+    d, contigs = genome_fa
+    tab = tmp_path / "g.ctab"
+    assert st.run_print_tuple_count_table(
+        [str(tab), str(d / "g.fa"), "-wordsize", "6"]) == 0
+    k, counts = st.load_ctab(str(tab) + ".npz")
+    assert k == 6 and len(counts) == 4 ** 6
+    total = sum(max(len(c.seq) - 5, 0) for c in contigs)
+    assert counts.sum() == total
+
+
+def test_sals_and_samodify(genome_fa, tmp_path, capsys):
+    from blasr_tpu.cli.sawriter import run as sawriter
+    d, contigs = genome_fa
+    sa = tmp_path / "g.sa"
+    assert sawriter([str(sa), str(d / "g.fa"), "--fullSuffixArray"]) == 0
+    assert st.run_sals([str(sa) + ".npz"]) == 0
+    out = capsys.readouterr().out
+    assert "has a suffix array" in out and "lookup table" in out
+    out_sa = tmp_path / "g2.sa"
+    assert st.run_samodify([str(sa) + ".npz", str(d / "g.fa"),
+                            str(out_sa), "-blt", "10"]) == 0
+    from blasr_tpu.index.genome import GenomeIndex
+    gi = GenomeIndex.load(str(out_sa) + ".npz")
+    assert gi.k == 10
+
+
+def test_evolve_writes_gff_and_mutations(genome_fa, tmp_path):
+    d, contigs = genome_fa
+    mut = tmp_path / "mut.fa"
+    gff = tmp_path / "vars.gff"
+    assert st.run_evolve([str(d / "g.fa"), str(mut), "-sub", "0.02",
+                          "-ins", "0.01", "-del", "0.01",
+                          "-gff", str(gff), "-seed", "3"]) == 0
+    out = read_fasta(mut)
+    assert len(out) == 2
+    lines = open(gff).read().strip().splitlines()
+    assert len(lines) > 50
+    kinds = {l.split("\t")[2] for l in lines}
+    assert kinds == {"SNV", "deletion", "insertion"}
+    # mutated genome differs but lengths are close
+    assert abs(len(out[0].seq) - len(contigs[0].seq)) < len(contigs[0].seq) * 0.05
+
+
+def test_excise_repeats(genome_fa, tmp_path):
+    d, contigs = genome_fa
+    rm = tmp_path / "rep.out"
+    rm.write_text("header\nheader\n\n"
+                  "100 1.0 0.0 0.0 contig0 100 200 x + rep cls 1 2 3 1\n"
+                  "100 1.0 0.0 0.0 contig0 500 600 x + rep cls 1 2 3 2\n")
+    out = tmp_path / "ex.fa"
+    assert st.run_excise_repeats([str(d / "g.fa"), str(rm), str(out)]) == 0
+    ex = read_fasta(out)[0]
+    assert len(ex.seq) == len(contigs[0].seq) - 200
+
+
+def test_simple_shredder(genome_fa, tmp_path):
+    d, contigs = genome_fa
+    out = tmp_path / "shred.fq"
+    assert st.run_simple_shredder(
+        [str(d / "g.fa"), "-readsFile", str(out), "-readLength", "150",
+         "-nReads", "20", "-fastq", "-nonRandInit"]) == 0
+    recs = read_fastq(out)
+    assert len(recs) == 20
+    assert all(len(r.seq) == 150 for r in recs)
+    assert all((r.qual == 20).all() for r in recs)
+    # stratify mode
+    out2 = tmp_path / "strat.fa"
+    assert st.run_simple_shredder(
+        [str(d / "g.fa"), "-readsFile", str(out2), "-readLength", "100",
+         "-stratify", "1000", "-nonRandInit"]) == 0
+    n = sum(len(c.seq) for c in contigs)
+    assert len(read_fasta(out2)) == len(range(0, n - 100, 1000))
+
+
+def test_bsdb(genome_fa, tmp_path):
+    d, contigs = genome_fa
+    out = tmp_path / "db"
+    assert st.run_bsdb([str(d / "g.fa"), str(out)]) == 0
+    z = np.load(str(out) + ".npz")
+    assert list(z["names"]) == [c.name for c in contigs]
+    assert list(z["lengths"]) == [len(c.seq) for c in contigs]
