@@ -286,19 +286,50 @@ def run(argv: Optional[List[str]] = None) -> int:
         gi.ctab_k, gi.ctab = load_ctab(args.ctab)
 
     reads = []
+    from blasr_tpu.io.fasta import sniff_format
     for path in expand_file_name_list([args.reads]):
         try:
-            reads.extend(read_sequences(path))
+            if sniff_format(path) == "hdf":
+                # HDF inputs honor -noSplitSubreads at extraction time
+                # (MakePrimaryIntervals region variants, Blasr.cpp:89-179)
+                from blasr_tpu.io.hdf import BaxReader
+                rdr = BaxReader(path)
+                try:
+                    reads.extend(rdr.subreads(split=not args.noSplitSubreads))
+                finally:
+                    rdr.close()
+            else:
+                reads.extend(read_sequences(path))
         except (FileNotFoundError, PermissionError) as e:
             # unopenable input -> warn and continue to the next file
             # (Blasr.cpp:1352-1355, tested by ctest/open_fail.t)
             sys.stderr.write(f"WARNING: Could not open {path}: {e}\n")
             continue
-    # --start/--stride process-level sharding (Blasr.cpp:1270)
-    reads = reads[params.start_read::max(1, params.stride)]
+    if params.subsample < 1.0:
+        # deterministic per-read subsampling (reference --subsample;
+        # MakeSane switches off stride when subsampling)
+        reads = [r for r in reads
+                 if (zmw_rand_int(r.name, params.random_seed) % 10**6)
+                 < params.subsample * 10**6]
+    # --start/--stride process-level sharding (Blasr.cpp:1270), composed
+    # with multi-host round-robin shards (dist/multihost.py)
+    import os as _os
+    host_id = int(_os.environ.get("BLASR_TPU_HOST_ID", "0"))
+    n_hosts = int(_os.environ.get("BLASR_TPU_NUM_HOSTS", "1"))
+    from blasr_tpu.dist.multihost import shard_path, shard_reads
+    idx = shard_reads(len(reads), host_id, n_hosts,
+                      params.start_read, max(1, params.stride))
+    markers = idx if n_hosts > 1 else None
+    reads = [reads[i] for i in idx]
+    if n_hosts > 1 and args.out != "-":
+        args.out = shard_path(args.out, host_id, n_hosts)
     if params.hole_number_ranges:
         pred = parse_hole_numbers(params.hole_number_ranges)
-        reads = [r for r in reads if pred(hole_of(r.name))]
+        keep = [(i, r) for i, r in enumerate(reads)
+                if pred(hole_of(r.name))]
+        reads = [r for _, r in keep]
+        if markers is not None:
+            markers = [markers[i] for i, _ in keep]
 
     from blasr_tpu.pipeline.metrics import MappingMetrics
     mapper = Mapper(gi, params, metrics=MappingMetrics(
@@ -333,13 +364,17 @@ def run(argv: Optional[List[str]] = None) -> int:
                            gi.seqdb.names,
                            [int(x) for x in gi.seqdb.lengths])
             emit(bw, unaligned_f, reads, per_read, gi, params, cmdline)
+            if markers is not None:
+                sys.stderr.write("WARNING: multi-host merge supports text "
+                                 "formats; BAM parts are left per-host\n")
             bw.close()
             if args.out != "-":
                 fobj.close()
         else:
             out = sys.stdout if args.out == "-" else open(args.out, "w")
             try:
-                emit(out, unaligned_f, reads, per_read, gi, params, cmdline)
+                emit(out, unaligned_f, reads, per_read, gi, params, cmdline,
+                     markers)
             finally:
                 if out is not sys.stdout:
                     out.close()
@@ -356,7 +391,8 @@ def run(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
-def emit(out, unaligned_f, reads, per_read, gi, params, cmdline=""):
+def emit(out, unaligned_f, reads, per_read, gi, params, cmdline="",
+         markers=None):
     fmt = params.print_format
     ref_ids = {n: i for i, n in enumerate(gi.seqdb.names)}
     title_map = None
@@ -370,7 +406,9 @@ def emit(out, unaligned_f, reads, per_read, gi, params, cmdline=""):
         out.write(formats.sam_header(gi, cmdline))
     elif fmt == "m4" and params.print_header:
         out.write(formats.M4_HEADER)
-    for rec, alns in zip(reads, per_read):
+    for ri, (rec, alns) in enumerate(zip(reads, per_read)):
+        if markers is not None:
+            out.write(f"#@{markers[ri]}\n")
         store_map_qvs(alns, params, gi)
         rint = zmw_rand_int(rec.name, params.random_seed)
         chosen = select_alignments(alns, params, rint)

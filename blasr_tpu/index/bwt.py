@@ -130,6 +130,13 @@ def invert_bwt(bwt: np.ndarray, counts: np.ndarray) -> np.ndarray:
     rebuilt with SA-IS, which is faster than storing rank vectors)."""
     bwt = np.asarray(bwt)
     n = len(bwt)
+    try:
+        from blasr_tpu.native import bwt_invert_native
+        out = bwt_invert_native(bwt, SENTINEL)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     # LF mapping == stable sort position (counts[c] + rank-within-char)
     order = np.argsort(bwt, kind="stable")
     lf = np.empty(n, np.int64)

@@ -154,6 +154,9 @@ def read_sequences(path: str) -> List[FastaRecord]:
             return rdr.subreads()
         finally:
             rdr.close()
+    if kind == "dataset":
+        from blasr_tpu.io.dataset import read_dataset
+        return read_dataset(path)
     raise ValueError(f"unsupported input format for {path}")
 
 

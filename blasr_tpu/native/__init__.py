@@ -53,6 +53,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.sais_u8.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
+            lib.bwt_invert_u8.restype = ctypes.c_int
+            lib.bwt_invert_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_uint8, ctypes.POINTER(ctypes.c_uint8)]
             _lib = lib
             return _lib
         except OSError:
@@ -78,3 +82,20 @@ def sais_native(codes: np.ndarray) -> Optional[np.ndarray]:
     if n < 2**31:
         return sa.astype(np.int32)
     return sa
+
+
+def bwt_invert_native(bwt: np.ndarray, sentinel: int) -> Optional[np.ndarray]:
+    """Native BWT inversion; None if the extension is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bwt_invert_u8"):
+        return None
+    b = np.ascontiguousarray(bwt, dtype=np.uint8)
+    n = len(b)
+    out = np.empty(max(n - 1, 0), dtype=np.uint8)
+    rc = lib.bwt_invert_u8(
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_uint8(sentinel),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    return out

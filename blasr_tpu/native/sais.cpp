@@ -128,6 +128,32 @@ void sais_core(const SIdx* s, int64_t* sa, int64_t n, int64_t k) {
 
 extern "C" {
 
+// Invert a BWT (bwt2sa path, extrautils/BwtToSuffixArray.cpp role): given
+// the BWT of text+sentinel (sentinel occurring exactly once), recover the
+// original text (n-1 bytes, sentinel excluded).  The Python fallback walks
+// the LF permutation one step per character in interpreter time; this is
+// the same walk in native code.
+int bwt_invert_u8(const uint8_t* bwt, int64_t n, uint8_t sentinel,
+                  uint8_t* out) {
+    if (n <= 0) return 1;
+    // LF[i] = stable-sort position of bwt[i]
+    std::vector<int64_t> cnt(256, 0), start(256, 0);
+    for (int64_t i = 0; i < n; i++) cnt[bwt[i]]++;
+    int64_t sum = 0;
+    for (int c = 0; c < 256; c++) { start[c] = sum; sum += cnt[c]; }
+    std::vector<int64_t> lf(n);
+    for (int64_t i = 0; i < n; i++) lf[i] = start[bwt[i]]++;
+    int64_t row = -1;
+    for (int64_t i = 0; i < n; i++)
+        if (bwt[i] == sentinel) { row = i; break; }
+    if (row < 0) return 2;
+    for (int64_t i = n - 2; i >= 0; i--) {
+        row = lf[row];
+        out[i] = bwt[row];
+    }
+    return 0;
+}
+
 // s: byte string; the wrapper appends a unique 0 sentinel internally, so
 // callers pass values in [1, 255].  sa receives n entries.
 int sais_u8(const uint8_t* s, int64_t n, int64_t* sa) {
