@@ -273,7 +273,8 @@ def _traceback_one(tbbits, offsets, qa, qb, ta, tb, state0, ok, t_max, w_b):
         return (nr, nt, nst, ndone), op
 
     carry0 = (qb - 1, tb - 1, state0, ~ok)
-    _, ops = jax.lax.scan(step, carry0, None, length=t_max)
+    # unroll amortizes per-step scan overhead over 8 pointer-chase steps
+    _, ops = jax.lax.scan(step, carry0, None, length=t_max, unroll=8)
     return ops
 
 

@@ -72,14 +72,6 @@ def _kernel(srb_ref, off_ref, qa_ref, qb_ref, ta_ref, tb_ref, gaps_ref,
             mM_s, mI_s, mD_s, combo_s, bits_buf,
             *, R: int, w_b: int, tgtw: int):
     j = pl.program_id(1)
-    wlen = window_ref.shape[2]
-
-    ins_open = gaps_ref[0, 0]
-    ins_ext = gaps_ref[0, 1]
-    del_open = gaps_ref[0, 2]
-    del_ext = gaps_ref[0, 3]
-    match = gaps_ref[0, 4]
-    mismatch = gaps_ref[0, 5]
 
     @pl.when(j == 0)
     def _():
@@ -93,6 +85,33 @@ def _kernel(srb_ref, off_ref, qa_ref, qb_ref, ta_ref, tb_ref, gaps_ref,
     qb_v = _vec8([qb_ref[0, 0, it] for it in range(ITEMS)])
     ta_v = _vec8([ta_ref[0, 0, it] for it in range(ITEMS)])
     tb_v = _vec8([tb_ref[0, 0, it] for it in range(ITEMS)])
+
+    # early exit: once every item's query range is exhausted, later row
+    # blocks have nothing to compute (callers group similar spans into a
+    # block); j == 0 always runs so outputs are initialized
+    qb_max = qb_ref[0, 0, 0]
+    for it in range(1, ITEMS):
+        qb_max = jnp.maximum(qb_max, qb_ref[0, 0, it])
+
+    @pl.when((j == 0) | (j * R < qb_max))
+    def _run():
+        _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
+                    window_ref, combo_ref, bits_ref,
+                    mM_s, mI_s, mD_s, combo_s, bits_buf,
+                    R=R, w_b=w_b, tgtw=tgtw)
+
+
+def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
+                window_ref, combo_ref, bits_ref,
+                mM_s, mI_s, mD_s, combo_s, bits_buf,
+                *, R: int, w_b: int, tgtw: int):
+    wlen = window_ref.shape[2]
+    ins_open = gaps_ref[0, 0]
+    ins_ext = gaps_ref[0, 1]
+    del_open = gaps_ref[0, 2]
+    del_ext = gaps_ref[0, 3]
+    match = gaps_ref[0, 4]
+    mismatch = gaps_ref[0, 5]
 
     # refill the target register window, aligned at o_prev = o[0] - s[0]
     # (each row, including the first, then shifts by its own s)

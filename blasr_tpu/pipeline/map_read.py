@@ -223,6 +223,10 @@ def map_batch(
     flat_valid = cands.valid.reshape(-1)
     rank = jnp.where(flat_valid, -cands.score.reshape(-1), jnp.float32(1e30))
     sel = jnp.argsort(rank, stable=True)[:n_dp].astype(jnp.int32)
+    # group similar query spans into the same 8-item DP block so the
+    # kernel's per-block early exit skips the shared inactive tail
+    span_key = -jnp.take(cands.q_end.reshape(-1), sel)
+    sel = jnp.take(sel, jnp.argsort(span_key, stable=True))
     sel_valid = jnp.take(flat_valid, sel)
 
     def pick(x):
