@@ -130,6 +130,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--printSAMQV", action="store_true")
     ap.add_argument("--noPrintSubreadTitle", action="store_true")
     # observability
+    ap.add_argument("--profileDir", default=None,
+                    help="write a jax.profiler trace of the mapping phase")
     ap.add_argument("--metrics", default=None, help="timing summary file")
     ap.add_argument("--fullMetrics", default=None,
                     help="per-call timing lists file")
@@ -344,14 +346,22 @@ def run(argv: Optional[List[str]] = None) -> int:
                 af.close()
             if cf:
                 cf.close()
-    if params.concordant:
-        from blasr_tpu.pipeline.zmw import map_concordant
-        per_read = map_concordant(mapper, reads, params)
-    elif params.use_ccs:
-        from blasr_tpu.pipeline.zmw import map_ccs
-        per_read = map_ccs(mapper, reads, params)
-    else:
-        per_read = mapper.map_reads(reads)
+    import contextlib
+    prof = contextlib.nullcontext()
+    if args.profileDir:
+        # device-level tracing (the reference's gperftools hook analog,
+        # Blasr.cpp:1428-1436); view with TensorBoard/xprof
+        import jax.profiler
+        prof = jax.profiler.trace(args.profileDir)
+    with prof:
+        if params.concordant:
+            from blasr_tpu.pipeline.zmw import map_concordant
+            per_read = map_concordant(mapper, reads, params)
+        elif params.use_ccs:
+            from blasr_tpu.pipeline.zmw import map_ccs
+            per_read = map_ccs(mapper, reads, params)
+        else:
+            per_read = mapper.map_reads(reads)
 
     cmdline = " ".join(argv or sys.argv[1:])
     unaligned_f = open(args.unaligned, "w") if args.unaligned else None
