@@ -107,6 +107,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--guidedAlignBandSize", type=int, default=10)
     ap.add_argument("--extend", action="store_true")
     ap.add_argument("--maxExtendDropoff", type=int, default=10)
+    ap.add_argument("--onegap", action="store_true",
+                    help="join collinear hits across one large target gap")
     # scoring
     ap.add_argument("--scoreMatrix", default=None,
                     help="25 space-separated ACGTN x ACGTN scores")
@@ -362,6 +364,9 @@ def run(argv: Optional[List[str]] = None) -> int:
             per_read = map_ccs(mapper, reads, params)
         else:
             per_read = mapper.map_reads(reads)
+    if args.onegap:
+        from blasr_tpu.pipeline.onegap import join_one_gap
+        per_read = [join_one_gap(alns, params) for alns in per_read]
 
     cmdline = " ".join(argv or sys.argv[1:])
     unaligned_f = open(args.unaligned, "w") if args.unaligned else None

@@ -63,7 +63,7 @@ def aligned_strings(a: Alignment, gi: GenomeIndex):
             ts.append("-" * n)
             ms.append(" " * n)
             qi += n
-        elif op == "D":
+        elif op in "DN":
             qs.append("-" * n)
             ts.append(decode(t[ti:ti + n]))
             ms.append(" " * n)

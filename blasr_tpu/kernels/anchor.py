@@ -111,13 +111,18 @@ def find_anchors(
     q = jax.lax.broadcasted_iota(jnp.int32, (B, L, O), 1)
 
     # containment prune: if the previous diagonal position also matches,
-    # this anchor is inside a longer one (RemoveOverlappingAnchors)
+    # this anchor is inside a longer one (RemoveOverlappingAnchors) —
+    # except periodic representatives every E/2 positions, so exact runs
+    # longer than the measured extension cap still chain to full span
     gprev = jnp.take(genome, jnp.clip(t - 1, 0, G - 1)).astype(jnp.int32)
     rprev_2d = jnp.concatenate(
         [jnp.full((B, 1), 4, dtype=jnp.int32), reads[:, :-1].astype(jnp.int32)],
         axis=1)
     rprev = rprev_2d[:, :, None]  # [B, L, 1]: read[q-1] since q == position iota
-    contained = (q > 0) & (t > 0) & (gprev == rprev) & (rprev < 4)
+    keep_stride = max(anchor_ext // 2, 1)
+    periodic = q % keep_stride == 0
+    contained = ((q > 0) & (t > 0) & (gprev == rprev) & (rprev < 4)
+                 & ~periodic)
     cand_valid &= ~contained
 
     # forward extension: compare genome[t+k..] with read[q+k..]

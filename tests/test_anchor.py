@@ -95,7 +95,12 @@ def test_random_reads_match_oracle(seed):
     for i, r in enumerate(reads):
         got = anchors_to_set(a, i)
         expect = brute_anchors(genome, r, 8, 10)
-        assert got == expect, f"read {i}"
+        # the kernel may additionally keep periodic representatives
+        # inside long exact runs (q % (anchor_ext//2) == 0) so chains
+        # can span runs longer than the extension cap
+        extras = [x for x in got if x not in expect]
+        assert all(q % 16 == 0 for q, _, _ in extras), extras
+        assert all(x in got for x in expect), f"read {i}"
 
 
 def test_min_match_filter():
