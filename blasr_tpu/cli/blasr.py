@@ -291,6 +291,7 @@ def run(argv: Optional[List[str]] = None) -> int:
 
     reads = []
     from blasr_tpu.io.fasta import sniff_format
+    ccs_groups = []
     for path in expand_file_name_list([args.reads]):
         try:
             if sniff_format(path) == "hdf":
@@ -299,7 +300,14 @@ def run(argv: Optional[List[str]] = None) -> int:
                 from blasr_tpu.io.hdf import BaxReader
                 rdr = BaxReader(path)
                 try:
-                    reads.extend(rdr.subreads(split=not args.noSplitSubreads))
+                    if (params.use_ccs and not params.use_ccs_only
+                            and rdr.passes is not None):
+                        # ccs.h5 with Passes: CCSIterator inputs
+                        ccs_groups.extend(rdr.ccs_groups(
+                            full_only=not params.use_all_subreads_in_ccs))
+                    else:
+                        reads.extend(
+                            rdr.subreads(split=not args.noSplitSubreads))
                 finally:
                     rdr.close()
             else:
@@ -356,7 +364,11 @@ def run(argv: Optional[List[str]] = None) -> int:
         import jax.profiler
         prof = jax.profiler.trace(args.profileDir)
     with prof:
-        if params.concordant:
+        if ccs_groups:
+            from blasr_tpu.pipeline.zmw import map_ccs_groups
+            reads, per_read = map_ccs_groups(mapper, ccs_groups, params)
+            markers = None  # record list was re-derived from CCS groups
+        elif params.concordant:
             from blasr_tpu.pipeline.zmw import map_concordant
             per_read = map_concordant(mapper, reads, params)
         elif params.use_ccs:

@@ -97,15 +97,44 @@ class BaxReader:
     def __init__(self, path: str):
         import h5py
         self.h5 = h5py.File(path, "r")
-        base = "PulseData/BaseCalls"
-        if base not in self.h5 and "PulseData/ConsensusBaseCalls" in self.h5:
-            base = "PulseData/ConsensusBaseCalls"   # ccs.h5
+        # ccs.h5 carries ConsensusBaseCalls (the primary reads) alongside
+        # the raw BaseCalls; prefer the consensus group when present
+        base = ("PulseData/ConsensusBaseCalls"
+                if "PulseData/ConsensusBaseCalls" in self.h5
+                else "PulseData/BaseCalls")
         self.base = base
         bc = self.h5[base]
         self.holes = np.asarray(bc["ZMW/HoleNumber"])
         self.num_event = np.asarray(bc["ZMW/NumEvent"])
         self.offsets = np.concatenate(
             [[0], np.cumsum(self.num_event)]).astype(np.int64)
+        # ccs.h5 carries BOTH the consensus calls and the raw polymerase
+        # calls + Passes (CCSIterator / FragmentCCSIterator inputs,
+        # Blasr.cpp:639-708)
+        self.raw = None
+        if (base == "PulseData/ConsensusBaseCalls"
+                and "PulseData/BaseCalls" in self.h5):
+            rb = self.h5["PulseData/BaseCalls"]
+            self.raw_num_event = np.asarray(rb["ZMW/NumEvent"])
+            self.raw_offsets = np.concatenate(
+                [[0], np.cumsum(self.raw_num_event)]).astype(np.int64)
+            self.raw = rb
+        self.passes = None
+        pg = base + "/Passes"
+        if pg in self.h5:
+            p = self.h5[pg]
+            npass = np.asarray(p["NumPasses"])
+            poff = np.concatenate([[0], np.cumsum(npass)]).astype(np.int64)
+            self.passes = {
+                "offsets": poff,
+                "direction": np.asarray(p["PassDirection"]),
+                "start": np.asarray(p["PassStartBase"]),
+                "nbases": np.asarray(p["PassNumBases"]),
+                "before": (np.asarray(p["AdapterHitBefore"])
+                           if "AdapterHitBefore" in p else None),
+                "after": (np.asarray(p["AdapterHitAfter"])
+                          if "AdapterHitAfter" in p else None),
+            }
         self.movie = "movie"
         if "ScanData/RunInfo" in self.h5:
             attrs = self.h5["ScanData/RunInfo"].attrs
@@ -154,8 +183,87 @@ class BaxReader:
                     f"{self.movie}/{z.hole}/{s}_{e}", z.seq[s:e], qual))
         return out
 
+    def ccs_passes(self, i: int, full_only: bool = False):
+        """Subread pass records of ZMW i from the raw polymerase read
+        (FragmentCCSIterator per-pass direction/start/numBases; full_only
+        keeps adapter-bounded passes — the useccs vs useccsall split,
+        Blasr.cpp:639-708).  Returns FastaRecords in template (forward CCS)
+        orientation, named movie/hole/start_end."""
+        from blasr_tpu.io.fasta import revcomp
+        if self.passes is None or self.raw is None:
+            return []
+        hole = int(self.holes[i])
+        a, b = (int(self.passes["offsets"][i]),
+                int(self.passes["offsets"][i + 1]))
+        ra, rb_off = int(self.raw_offsets[i]), int(self.raw_offsets[i + 1])
+        raw_seq = encode(bytes(np.asarray(self.raw["Basecall"][ra:rb_off])))
+        out = []
+        for j in range(a, b):
+            if full_only and self.passes["before"] is not None:
+                if not (self.passes["before"][j]
+                        and self.passes["after"][j]):
+                    continue
+            s = int(self.passes["start"][j])
+            n = int(self.passes["nbases"][j])
+            sub = raw_seq[s:s + n]
+            if len(sub) == 0:
+                continue
+            if int(self.passes["direction"][j]) == 1:
+                sub = revcomp(sub)
+            out.append(FastaRecord(f"{self.movie}/{hole}/{s}_{s + n}", sub))
+        return out
+
+    def ccs_groups(self, full_only: bool = False):
+        """[(consensus_record, [pass_records])] for CCS mapping modes."""
+        groups = []
+        for i in range(len(self.holes)):
+            z = self.read_zmw(i)
+            if not len(z.seq):
+                continue
+            qual = z.tracks.get("QualityValue")
+            ccs = FastaRecord(
+                f"{self.movie}/{z.hole}/ccs", z.seq,
+                qual.astype(np.int32) if qual is not None else None)
+            groups.append((ccs, self.ccs_passes(i, full_only)))
+        return groups
+
     def close(self) -> None:
         self.h5.close()
+
+
+def write_ccs(path: str, movie: str, ccs_zmws: Sequence[ZmwRead],
+              raw_zmws: Sequence[ZmwRead], passes: Sequence[Sequence[tuple]]
+              ) -> None:
+    """Write a ccs.h5 with consensus calls, raw polymerase calls, and the
+    Passes group.  passes[i] = [(direction, start, nbases, adapter_before,
+    adapter_after), ...] for ZMW i."""
+    import h5py
+    from blasr_tpu.io.fasta import decode
+    write_bax(path, movie, ccs_zmws, ccs=True)
+    with h5py.File(path, "a") as h5:
+        rb = h5.create_group("PulseData/BaseCalls")
+        seqs = b"".join(decode(z.seq).encode() for z in raw_zmws)
+        rb.create_dataset("Basecall",
+                          data=np.frombuffer(seqs, dtype=np.uint8))
+        zg = rb.create_group("ZMW")
+        zg.create_dataset("HoleNumber", data=np.asarray(
+            [z.hole for z in raw_zmws], np.uint32))
+        zg.create_dataset("NumEvent", data=np.asarray(
+            [len(z.seq) for z in raw_zmws], np.uint32))
+        pg = h5.create_group("PulseData/ConsensusBaseCalls/Passes")
+        flat = [p for ps in passes for p in ps]
+        pg.create_dataset("NumPasses", data=np.asarray(
+            [len(ps) for ps in passes], np.uint32))
+        pg.create_dataset("PassDirection", data=np.asarray(
+            [p[0] for p in flat], np.uint8))
+        pg.create_dataset("PassStartBase", data=np.asarray(
+            [p[1] for p in flat], np.uint32))
+        pg.create_dataset("PassNumBases", data=np.asarray(
+            [p[2] for p in flat], np.uint32))
+        pg.create_dataset("AdapterHitBefore", data=np.asarray(
+            [p[3] for p in flat], np.uint8))
+        pg.create_dataset("AdapterHitAfter", data=np.asarray(
+            [p[4] for p in flat], np.uint8))
 
 
 def write_bax(path: str, movie: str, zmws: Sequence[ZmwRead],

@@ -40,6 +40,8 @@ _ZMW_RE = re.compile(r"^(.+)/(\d+)$")
 
 def zmw_key(qname: str) -> str:
     """movie/holeNumber prefix identifying the ZMW, or the full name."""
+    if qname.endswith("/ccs"):           # CCS read naming convention
+        qname = qname[: -len("/ccs")]
     m = _SUBREAD_RE.match(qname)
     if m:
         return f"{m.group(1)}/{m.group(2)}"
@@ -110,18 +112,25 @@ def map_concordant(
     Returns per-input-record alignment lists (template alignments for the
     template subread; window-constrained alignments for the others).
     """
-    gi = mapper.gi
     groups = group_by_zmw(recs)
+    templates = [
+        g[concordant_template_index([recs[i] for i in g],
+                                    params.concordant_template)]
+        for g in groups]
+    return _map_to_template_windows(mapper, recs, groups, templates, params)
+
+
+def _map_to_template_windows(
+    mapper: Mapper,
+    recs: Sequence[FastaRecord],
+    groups: List[List[int]],
+    templates: List[int],
+    params: MappingParams,
+) -> List[List[Alignment]]:
+    gi = mapper.gi
     out: List[List[Alignment]] = [[] for _ in recs]
 
-    # 1) map each ZMW's template subread with the full pipeline
-    template_idx = {}
-    templates = []
-    for g in groups:
-        ti = g[concordant_template_index([recs[i] for i in g],
-                                         params.concordant_template)]
-        template_idx[id(g) if False else tuple(g)] = ti
-        templates.append(ti)
+    # 1) map each group's template with the full pipeline
     template_alns = mapper.map_reads([recs[t] for t in templates])
 
     # 2) build the mini genome of flanked target windows
@@ -188,3 +197,29 @@ def map_ccs(
     if params.use_ccs_only:
         return mapper.map_reads(recs)
     return map_concordant(mapper, recs, params)
+
+
+def map_ccs_groups(
+    mapper: Mapper,
+    groups: Sequence[Tuple[FastaRecord, Sequence[FastaRecord]]],
+    params: MappingParams,
+) -> Tuple[List[FastaRecord], List[List[Alignment]]]:
+    """CCS mapping from explicit (consensus, passes) groups (ccs.h5 with a
+    Passes table — the CCSIterator/FragmentCCSIterator inputs,
+    Blasr.cpp:639-708).  The consensus read is the template; each pass is
+    re-aligned to the selected template windows.  Returns the flattened
+    record list ([ccs, pass...] per group) and per-record alignments."""
+    recs: List[FastaRecord] = []
+    idx_groups: List[List[int]] = []
+    templates: List[int] = []
+    for ccs_rec, passes in groups:
+        g = [len(recs)]
+        recs.append(ccs_rec)
+        templates.append(g[0])
+        for p in passes:
+            g.append(len(recs))
+            recs.append(p)
+        idx_groups.append(g)
+    alns = _map_to_template_windows(mapper, recs, idx_groups, templates,
+                                    params)
+    return recs, alns
