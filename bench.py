@@ -24,6 +24,9 @@ ASSUMED_REFERENCE_READS_PER_SEC = 15.0
 
 def main():
     import jax
+    # note: the persistent compilation cache is NOT enabled here — the
+    # axon remote-TPU backend compiles server-side and re-loading cached
+    # executables measured slower than recompiling
     from blasr_tpu.index import build_genome_index
     from blasr_tpu.params import MappingParams, ShapeConfig
     from blasr_tpu.pipeline.map_read import Mapper

@@ -14,6 +14,13 @@ import jax  # noqa: E402
 # the axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS; config wins
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is dominated by recompiles of
+# the same kernels across test processes
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
