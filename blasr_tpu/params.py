@@ -213,8 +213,11 @@ class ShapeConfig:
     (reads 50 bp..100 kbp, anchors varying by 1e4) onto fixed shapes.
     """
 
-    # length buckets: reads are padded up to the smallest bucket >= len
-    buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192, 16384)
+    # length buckets: reads are padded up to the smallest bucket >= len;
+    # reads beyond the last bucket map by their first bucket-length bases
+    # (a warning is emitted — raise the cap for ultra-long libraries)
+    buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192, 16384,
+                                32768, 65536)
     batch_size: int = 32          # reads per device batch
     max_anchors: int = 512        # anchors kept per read per strand (post top-k)
     occ_per_pos: int = 4          # SA hits taken per read position pre top-k

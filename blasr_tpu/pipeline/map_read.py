@@ -583,6 +583,13 @@ class Mapper:
                 ))
         for a in alns:
             a.n_candidates = len(alns)
+        if self.params.verbosity >= 1 and alns:
+            # interval prints (reference -V, BlasrAlignImpl.hpp:260-277)
+            import sys
+            for a in alns:
+                sys.stderr.write(
+                    f"interval {a.qname} {a.qstart} {a.qend} {a.tname} "
+                    f"{a.tstart} {a.tend} {int(a.score)} {a.strand}\n")
         return alns
 
     def map_reads(self, recs: Sequence[FastaRecord]) -> List[List[Alignment]]:
@@ -595,9 +602,18 @@ class Mapper:
         for j in range(len(recs)):
             order[j] = []
         buckets: Dict[int, List] = {}
+        n_trunc = 0
         for j, r in kept:
             b = self.cfg.bucket_for(len(r.seq))
+            if len(r.seq) > b:
+                n_trunc += 1
             buckets.setdefault(b, []).append((j, r))
+        if n_trunc:
+            import sys
+            sys.stderr.write(
+                f"WARNING: {n_trunc} reads exceed the largest length "
+                f"bucket ({self.cfg.buckets[-1]}); mapping their first "
+                f"{self.cfg.buckets[-1]} bases\n")
         for b, items in sorted(buckets.items()):
             batch = self.batch_size_for(b)
             results = self._run_bucket([r for _, r in items], b, batch)
