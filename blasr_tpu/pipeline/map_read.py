@@ -184,6 +184,8 @@ def map_batch(
     gap_costs: jnp.ndarray,    # float32 [4] ins_open, ins_ext, del_open, del_ext
     sig_thresh=0.0,            # float: min chain -log P (significance gate,
     #                            the LookupAnchorDistribution analog)
+    min_interval_weight=0.0,   # float: min summed anchor bases per
+    #                            candidate (reference minInterval weight)
     *,
     cfg_k: int, L: int, W: int, w_b: int, C: int, A: int, O: int, E: int,
     T: int, max_chain: int, min_match: int, max_anchors_per_pos: int,
@@ -210,7 +212,8 @@ def map_batch(
     # (reference: anchor-distribution mapQV gate + LIS P-value,
     # BlasrAlignImpl.hpp:391-488)
     cands = cands._replace(
-        valid=cands.valid & (cands.nlogp >= jnp.float32(sig_thresh)))
+        valid=(cands.valid & (cands.nlogp >= jnp.float32(sig_thresh))
+               & (cands.score >= jnp.float32(min_interval_weight))))
     mq, mt, ml, mvalid = chain_members(cands, anchors, max_chain=max_chain)
 
     # candidate compaction: only the top N_dp candidates across the batch
@@ -510,6 +513,7 @@ class Mapper:
                 res = map_batch(
                     self.dev, jnp.asarray(arr), jnp.asarray(lens),
                     self.submat, self.gap_costs, np.float32(sig),
+                    np.float32(p.min_interval_weight),
                     cfg_k=self.gi.k, L=L, W=W, w_b=cfg.band_width,
                     C=cfg.n_candidates, A=cfg.max_anchors, O=cfg.occ_per_pos,
                     E=cfg.anchor_ext, T=T, max_chain=cfg.max_anchors,
