@@ -433,17 +433,32 @@ def emit(out, unaligned_f, reads, per_read, gi, params, cmdline="",
         out.write(formats.sam_header(gi, cmdline))
     elif fmt == "m4" and params.print_header:
         out.write(formats.M4_HEADER)
-    for ri, (rec, alns) in enumerate(zip(reads, per_read)):
-        if markers is not None:
-            out.write(f"#@{markers[ri]}\n")
+    # pass 1: select every read's printed alignments
+    chosen_all = []
+    for rec, alns in zip(reads, per_read):
         store_map_qvs(alns, params, gi)
         rint = zmw_rand_int(rec.name, params.random_seed)
-        chosen = select_alignments(alns, params, rint)
+        chosen_all.append(select_alignments(alns, params, rint))
+    # subread-context threading for SAM/BAM (PrintAllReadAlignments,
+    # BlasrUtilsImpl.hpp:1127-1212): alignments of a ZMW's subreads point
+    # at the next aligned subread's first alignment via RNEXT/PNEXT
+    links = [None] * len(reads)
+    if fmt in ("sam", "bam"):
+        from blasr_tpu.pipeline.zmw import group_by_zmw
+        for g in group_by_zmw(reads):
+            aligned = [i for i in g if chosen_all[i]]
+            if len(aligned) > 1:
+                for k, i in enumerate(aligned):
+                    links[i] = chosen_all[aligned[(k + 1) % len(aligned)]][0]
+    for ri, (rec, chosen) in enumerate(zip(reads, chosen_all)):
+        if markers is not None:
+            out.write(f"#@{markers[ri]}\n")
         if not chosen:
             if unaligned_f is not None:
                 formats.write_unaligned(unaligned_f, rec.name, rec.seq,
                                         params.print_unaligned and False)
             continue
+        link = links[ri]
         for a in chosen:
             if title_map is not None:
                 if a.tname in title_map:
@@ -453,9 +468,18 @@ def emit(out, unaligned_f, reads, per_read, gi, params, cmdline="",
                         f"ERROR: title {a.tname} not in title table\n")
                     raise SystemExit(1)
             if fmt == "bam":
-                out.write_record(formats.to_bam_record(a, params, ref_ids))
+                rec_b = formats.to_bam_record(a, params, ref_ids)
+                if link is not None:
+                    rec_b.next_ref_id = ref_ids.get(link.tname, link.tindex)
+                    rec_b.next_pos = link.tstart
+                out.write_record(rec_b)
             elif fmt == "sam":
-                formats.write_sam(out, a, params)
+                if link is not None:
+                    rn = "=" if link.tname == a.tname else link.tname
+                    formats.write_sam(out, a, params, rnext=rn,
+                                      pnext=link.tstart)
+                else:
+                    formats.write_sam(out, a, params)
             elif fmt == "m0":
                 formats.write_m0(out, a, gi)
             elif fmt == "m1":

@@ -36,6 +36,8 @@ class BamRecord:
     seq: np.ndarray       # codes 0..4 as stored (already strand-oriented)
     qual: Optional[np.ndarray]
     tags: Dict[str, object] = field(default_factory=dict)
+    next_ref_id: int = -1  # RNEXT/PNEXT (subread-context threading)
+    next_pos: int = -1
 
 
 def _encode_tags(tags: Dict[str, object]) -> bytes:
@@ -133,7 +135,7 @@ class BamWriter:
             "<iiBBHHHiiii",
             r.ref_id, r.pos, len(name),
             r.mapq, self._reg2bin(r.pos, r.pos + max(tspan, 1)),
-            len(r.cigar), r.flag, l_seq, -1, -1, 0,
+            len(r.cigar), r.flag, l_seq, r.next_ref_id, r.next_pos, 0,
         ) + name + cigar + packed + qual + _encode_tags(r.tags)
         self.w.write(struct.pack("<i", len(rec)) + rec)
 

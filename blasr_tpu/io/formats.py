@@ -193,7 +193,8 @@ def _cigar_string(cigar: List, use_seq_match: bool) -> str:
     return "".join(f"{n}{o}" for o, n in out)
 
 
-def write_sam(f: TextIO, a: Alignment, params=None):
+def write_sam(f: TextIO, a: Alignment, params=None,
+              rnext: str = "*", pnext: int = 0):
     clipping = getattr(params, "clipping", "none") if params else "none"
     use_eq = getattr(params, "cigar_use_seq_match", False) if params else False
     oread = _oriented_read(a)
@@ -230,7 +231,8 @@ def write_sam(f: TextIO, a: Alignment, params=None):
     edit_dist = a.n_mismatch + a.n_ins + a.n_del
     fields = [
         qname, str(flag), a.tname, str(a.tstart + 1), str(a.map_qv),
-        _cigar_string(cigar, use_eq), "*", "0", "0",
+        _cigar_string(cigar, use_eq),
+        rnext, str(pnext + 1 if rnext != "*" else 0), "0",
         decode(seq), qualstr,
         f"AS:i:{int(a.score)}", f"NM:i:{edit_dist}",
     ]

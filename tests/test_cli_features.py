@@ -77,3 +77,35 @@ def test_score_matrix_flag_forces_xla_kernel(world):
                 "--scoreMatrix", " ".join(mat),
                 "--out", str(d / "sm.m4")]) == 0
     assert len(open(d / "sm.m4").read().strip().splitlines()) >= 5
+
+
+def test_sam_subread_context_threading(world, tmp_path):
+    """PrintAllReadAlignments threading (BlasrUtilsImpl.hpp:1127-1212):
+    subreads of one ZMW link via RNEXT/PNEXT in SAM output."""
+    import numpy as np
+    from blasr_tpu.io.fasta import FastaRecord, write_fasta
+    from blasr_tpu.sim import random_genome, simulate_reads
+    contigs = random_genome(40_000, seed=63)
+    sims = simulate_reads(contigs, 4, read_len=(250, 350), accuracy=0.9,
+                          seed=64)
+    # two subreads per ZMW
+    recs = []
+    for z in range(2):
+        a, b = sims[2 * z], sims[2 * z + 1]
+        recs.append(FastaRecord(f"mv/{z}/0_{len(a.rec.seq)}", a.rec.seq))
+        s0 = len(a.rec.seq) + 40
+        recs.append(FastaRecord(f"mv/{z}/{s0}_{s0 + len(b.rec.seq)}",
+                                b.rec.seq))
+    write_fasta(tmp_path / "r.fa", recs)
+    write_fasta(tmp_path / "g.fa", contigs)
+    from blasr_tpu.cli.blasr import run
+    out = tmp_path / "out.sam"
+    assert run([str(tmp_path / "r.fa"), str(tmp_path / "g.fa"), "--sam",
+                "--bestn", "1", "--hitPolicy", "randombest",
+                "--out", str(out)]) == 0
+    body = [l.split("\t") for l in open(out) if not l.startswith("@")]
+    assert len(body) >= 3
+    linked = [f for f in body if f[6] != "*"]
+    assert linked, body
+    for f in linked:
+        assert int(f[7]) > 0  # PNEXT set (1-based)
