@@ -138,6 +138,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--fullMetrics", default=None,
                     help="per-call timing lists file")
     ap.add_argument("--anchors", default=None, help="raw anchor dump file")
+    ap.add_argument("--printDotPlots", action="store_true",
+                    help="write a per-read <name>.anchors dot-plot file")
     ap.add_argument("--clusters", default=None,
                     help="per-read cluster statistics file")
     ap.add_argument("-V", "--verbose", type=int, default=0, nargs="?", const=1)
@@ -248,6 +250,7 @@ def params_from_args(args) -> MappingParams:
         forward_only=args.forwardOnly,
         preserve_read_title=args.preserveReadTitle,
         print_unaligned=args.unaligned is not None,
+        print_unaligned_names_only=args.noPrintUnalignedSeqs,
         start_read=args.start, stride=args.stride, subsample=args.subsample,
         scale_mapqv_by_num_significant_clusters=args.scaleMapQVByNClusters,
         concordant=args.concordant,
@@ -346,6 +349,12 @@ def run(argv: Optional[List[str]] = None) -> int:
     from blasr_tpu.pipeline.metrics import MappingMetrics
     mapper = Mapper(gi, params, metrics=MappingMetrics(
         store_list=args.fullMetrics is not None))
+    if args.printDotPlots:
+        # per-read anchor dumps (--printDotPlots, BlasrAlignImpl.hpp:151-159)
+        for r in reads:
+            fname = r.name.replace("/", "_") + ".anchors"
+            with open(fname, "w") as df:
+                mapper.dump_debug([r], anchors_out=df)
     if args.anchors or args.clusters:
         af = open(args.anchors, "w") if args.anchors else None
         cf = open(args.clusters, "w") if args.clusters else None
@@ -456,7 +465,7 @@ def emit(out, unaligned_f, reads, per_read, gi, params, cmdline="",
         if not chosen:
             if unaligned_f is not None:
                 formats.write_unaligned(unaligned_f, rec.name, rec.seq,
-                                        params.print_unaligned and False)
+                                        params.print_unaligned_names_only)
             continue
         link = links[ri]
         for a in chosen:

@@ -147,6 +147,7 @@ class MappingParams:
     allow_adjacent_indels: bool = False
     print_only_best: bool = False
     print_unaligned: bool = False
+    print_unaligned_names_only: bool = False
     print_header: bool = False
     preserve_read_title: bool = False
     print_subread_title: bool = True
