@@ -124,6 +124,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--flankSize", type=int, default=40)
     ap.add_argument("--refineConcordantAlignments", action="store_true")
     ap.add_argument("--noSplitSubreads", action="store_true")
+    ap.add_argument("--minSubreadLength", type=int, default=0)
     # selection / output extras
     ap.add_argument("--holeNumbers", default=None,
                     help="ZMW hole-number ranges, e.g. 1,2,10-12")
@@ -237,6 +238,7 @@ def params_from_args(args) -> MappingParams:
         random_seed=args.randomSeed,
         use_random_seed=args.randomSeed != 0,
         min_read_length=args.minReadLength,
+        min_subread_length=args.minSubreadLength,
         max_read_length=args.maxReadLength,
         indel=args.indel, insertion=args.insertion, deletion=args.deletion,
         match=args.match, mismatch=args.mismatch,
@@ -309,8 +311,12 @@ def run(argv: Optional[List[str]] = None) -> int:
                         ccs_groups.extend(rdr.ccs_groups(
                             full_only=not params.use_all_subreads_in_ccs))
                     else:
-                        reads.extend(
-                            rdr.subreads(split=not args.noSplitSubreads))
+                        subs = rdr.subreads(split=not args.noSplitSubreads)
+                        if params.min_subread_length:
+                            subs = [r for r in subs
+                                    if len(r.seq)
+                                    >= params.min_subread_length]
+                        reads.extend(subs)
                 finally:
                     rdr.close()
             else:
@@ -396,7 +402,11 @@ def run(argv: Optional[List[str]] = None) -> int:
             from blasr_tpu.io.bam import BamWriter
             fobj = open(args.out, "wb") if args.out != "-" \
                 else sys.stdout.buffer
-            bw = BamWriter(fobj, formats.sam_header(gi, cmdline),
+            movies = sorted({r.name.split("/")[0] for r in reads
+                             if "/" in r.name}) or ["default"]
+            rgs = [f"@RG\tID:{m}\tPL:PACBIO\tSM:{m}" for m in movies]
+            bw = BamWriter(fobj,
+                           formats.sam_header(gi, cmdline, read_groups=rgs),
                            gi.seqdb.names,
                            [int(x) for x in gi.seqdb.lengths])
             emit(bw, unaligned_f, reads, per_read, gi, params, cmdline)
@@ -490,17 +500,17 @@ def emit(out, unaligned_f, reads, per_read, gi, params, cmdline="",
                 else:
                     formats.write_sam(out, a, params)
             elif fmt == "m0":
-                formats.write_m0(out, a, gi)
+                formats.write_m0(out, a, gi, params=params)
             elif fmt == "m1":
-                formats.write_m1(out, a)
+                formats.write_m1(out, a, params=params)
             elif fmt == "m2":
-                formats.write_m2(out, a, gi)
+                formats.write_m2(out, a, gi, params=params)
             elif fmt == "m3":
-                formats.write_m3(out, a)
+                formats.write_m3(out, a, params=params)
             elif fmt == "m4":
-                formats.write_m4(out, a)
+                formats.write_m4(out, a, params=params)
             elif fmt == "m5":
-                formats.write_m5(out, a, gi)
+                formats.write_m5(out, a, gi, params=params)
             else:
                 raise ValueError(f"unknown format {fmt}")
 

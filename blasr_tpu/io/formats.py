@@ -78,8 +78,13 @@ def _m4_target_coords(a: Alignment):
     return a.tlen - a.tend, a.tlen - a.tstart
 
 
-def _qname(a: Alignment, preserve: bool) -> str:
+def _qname(a: Alignment, preserve: bool, subread_title: bool = True) -> str:
     if preserve:
+        return a.qname
+    if not subread_title:
+        # --noPrintSubreadTitle: strip the /qstart_qend suffix
+        if "/" in a.qname and a.qname.rsplit("/", 1)[-1].count("_") == 1:
+            return a.qname.rsplit("/", 1)[0]
         return a.qname
     # blasr subread convention: movie/zmw/qstart_qend; for plain FASTA
     # it appends /0_len
@@ -89,10 +94,18 @@ def _qname(a: Alignment, preserve: bool) -> str:
 
 
 # ---------------------------------------------------------------------- m0
-def write_m0(f: TextIO, a: Alignment, gi: GenomeIndex, width: int = 50):
+def _qn(a: Alignment, params=None) -> str:
+    if params is None:
+        return _qname(a, False)
+    return _qname(a, getattr(params, "preserve_read_title", False),
+                  getattr(params, "print_subread_title", True))
+
+
+def write_m0(f: TextIO, a: Alignment, gi: GenomeIndex, width: int = 50,
+             params=None):
     qstr, mstr, tstr = aligned_strings(a, gi)
     ts, te = _m4_target_coords(a)
-    f.write(f"qName: {_qname(a, False)}\n")
+    f.write(f"qName: {_qn(a, params)}\n")
     f.write(f"tName: {a.tname}\n")
     f.write(f"qStrand: 0\ntStrand: {a.strand}\n")
     f.write(f"score: {int(a.score)}\n")
@@ -107,19 +120,19 @@ def write_m0(f: TextIO, a: Alignment, gi: GenomeIndex, width: int = 50):
 
 
 # ---------------------------------------------------------------------- m1
-def write_m1(f: TextIO, a: Alignment):
+def write_m1(f: TextIO, a: Alignment, params=None):
     ts, te = _m4_target_coords(a)
     f.write(" ".join(map(str, [
-        _qname(a, False), a.tname, 0, a.strand, int(a.score),
+        _qn(a, params), a.tname, 0, a.strand, int(a.score),
         f"{a.pct_similarity:.4f}", ts, te, a.tlen,
         a.qstart, a.qend, a.qlen, a.n_cells])) + "\n")
 
 
 # ---------------------------------------------------------------------- m2
-def write_m2(f: TextIO, a: Alignment, gi: GenomeIndex):
+def write_m2(f: TextIO, a: Alignment, gi: GenomeIndex, params=None):
     qstr, _, tstr = aligned_strings(a, gi)
     ts, te = _m4_target_coords(a)
-    f.write(f'<hit name="{_qname(a, False)}" unalignedLength="{a.qlen}" '
+    f.write(f'<hit name="{_qn(a, params)}" unalignedLength="{a.qlen}" '
             f'start="{a.qstart}" end="{a.qend}" strand="0" '
             f'targetStart="{ts}" targetEnd="{te}" targetStrand="{a.strand}" '
             f'score="{int(a.score)}">\n')
@@ -127,7 +140,7 @@ def write_m2(f: TextIO, a: Alignment, gi: GenomeIndex):
 
 
 # ---------------------------------------------------------------------- m3
-def write_m3(f: TextIO, a: Alignment):
+def write_m3(f: TextIO, a: Alignment, params=None):
     """Vulgar format: label triplets M/I/D with lengths."""
     ts, te = _m4_target_coords(a)
     trip = []
@@ -139,15 +152,15 @@ def write_m3(f: TextIO, a: Alignment):
         elif op == "D":
             trip.append(f"D 0 {n}")
     f.write(" ".join(map(str, [
-        _qname(a, False), a.qstart, a.qend, 0, a.tname, ts, te, a.strand,
+        _qn(a, params), a.qstart, a.qend, 0, a.tname, ts, te, a.strand,
         int(a.score)])) + " " + " ".join(trip) + "\n")
 
 
 # ---------------------------------------------------------------------- m4
-def write_m4(f: TextIO, a: Alignment):
+def write_m4(f: TextIO, a: Alignment, params=None):
     ts, te = _m4_target_coords(a)
     f.write(" ".join(map(str, [
-        _qname(a, False), a.tname, int(a.score),
+        _qn(a, params), a.tname, int(a.score),
         f"{a.pct_similarity:.4f}", 0, a.qstart, a.qend, a.qlen,
         a.strand, ts, te, a.tlen, a.map_qv])) + "\n")
 
@@ -157,11 +170,11 @@ M4_HEADER = ("qname tname score pctsimilarity qstrand qstart qend qseqlength "
 
 
 # ---------------------------------------------------------------------- m5
-def write_m5(f: TextIO, a: Alignment, gi: GenomeIndex):
+def write_m5(f: TextIO, a: Alignment, gi: GenomeIndex, params=None):
     qstr, mstr, tstr = aligned_strings(a, gi)
     ts, te = _m4_target_coords(a)
     f.write(" ".join(map(str, [
-        _qname(a, False), a.qlen, a.qstart, a.qend, 0,
+        _qn(a, params), a.qlen, a.qstart, a.qend, 0,
         a.tname, a.tlen, ts, te, a.strand,
         int(a.score), a.n_match, a.n_mismatch, a.n_ins, a.n_del,
         a.map_qv, qstr, mstr, tstr])) + "\n")
