@@ -68,7 +68,8 @@ def main():
         dev.genome, dev.keys_sorted, dev.pos_sorted, reads2, rlen2,
         k=12, occ_per_pos=static["O"], max_anchors=static["A"],
         anchor_ext=static["E"], min_match=12, max_anchors_per_pos=10000,
-        max_lcp=0, bucket_starts=dev.bucket_starts))
+        max_lcp=0, bucket_starts=dev.bucket_starts,
+        gwords=dev.gwords, gnwords=dev.gnwords))
     cands = timeit("chain_anchors", lambda: chain_anchors(
         anchors, rlen2, n_cand=static["C"], indel_rate=0.3))
     memb = timeit("chain_members", lambda: chain_members(
