@@ -207,15 +207,25 @@ def read_bam_records(path: str) -> List[FastaRecord]:
         return _read_sam_records(path)
     _, _, _, records = read_bam(path)
     out: List[FastaRecord] = []
+    track_of_tag = {"iq": "InsertionQV", "dq": "DeletionQV",
+                    "sq": "SubstitutionQV", "mq": "MergeQV"}
     for r in records:
         if r.flag & 0x900:  # secondary/supplementary: not a read
             continue
         seq = r.seq
         qual = r.qual
-        if r.flag & 16:
+        rc = bool(r.flag & 16)
+        if rc:
             seq = revcomp(seq)
             qual = qual[::-1] if qual is not None else None
-        out.append(FastaRecord(r.qname, seq, qual))
+        tracks = {}
+        for tag, name in track_of_tag.items():
+            v = r.tags.get(tag)
+            if isinstance(v, str) and len(v) == len(seq):
+                arr = (np.frombuffer(v.encode(), np.uint8).astype(np.int32)
+                       - 33)
+                tracks[name] = arr[::-1] if rc else arr
+        out.append(FastaRecord(r.qname, seq, qual, tracks or None))
     return out
 
 

@@ -34,6 +34,9 @@ class FastaRecord:
     title: str          # full header line after '>'
     seq: np.ndarray     # int8 codes 0..4
     qual: Optional[np.ndarray] = None  # phred ints, FASTQ only
+    # optional named QV tracks (PacBio iq/dq/sq BAM tags, HDF QV datasets),
+    # forward-read orientation
+    tracks: Optional[dict] = None
 
     @property
     def name(self) -> str:

@@ -343,6 +343,7 @@ class Alignment:
     cigar: Optional[List] = None      # list of (op_char, count), query-fwd order
     read: Optional[np.ndarray] = None  # read codes (forward orientation)
     qual: Optional[np.ndarray] = None
+    tracks: Optional[dict] = None      # named QV tracks (fwd orientation)
     n_candidates: int = 0
     n_significant_clusters: int = 0
 
@@ -584,6 +585,7 @@ class Mapper:
                     n_ins=int(res.n_ins[row, c]),
                     n_del=int(res.n_del[row, c]),
                     cigar=cigar, read=rec.seq, qual=rec.qual,
+                    tracks=getattr(rec, "tracks", None),
                 ))
         for a in alns:
             a.n_candidates = len(alns)

@@ -159,15 +159,29 @@ def log10_prob_alignment(cigar, query, target, qa, ta,
     if len(opc) == 0:
         return -1e9
     eq = _col_eq(opc, qidx, tidx, query, target)
-    qv = tracks.qual if tracks is not None else None
-    if qv is not None and len(qv):
-        qvv = np.minimum(np.asarray(qv, np.float64)[
-            np.clip(qidx, 0, len(qv) - 1)], 93.0)
-        pe = np.maximum(10.0 ** (-qvv / 10.0), 1e-10)
-    else:
-        pe = np.full(len(opc), max(1.0 - read_accuracy_prior, 1e-4))
-    lm = np.log10(np.maximum(1.0 - pe, 1e-10))
-    lx = np.log10(pe / 3.0)
-    lg = np.log10(pe / 2.0)
-    contrib = np.where(opc == OP_M, np.where(eq, lm, lx), lg)
+
+    def perr(track):
+        if track is None or not len(track):
+            return None
+        v = np.minimum(np.asarray(track, np.float64)[
+            np.clip(qidx, 0, len(track) - 1)], 93.0)
+        return np.maximum(10.0 ** (-v / 10.0), 1e-10)
+
+    qv_pe = perr(tracks.qual if tracks is not None else None)
+    base_pe = (qv_pe if qv_pe is not None
+               else np.full(len(opc), max(1.0 - read_accuracy_prior, 1e-4)))
+    # per-column error probabilities; dedicated IDS tracks refine the
+    # mismatch/insertion/deletion terms when present (iq/dq/sq tags)
+    sub_pe = perr(tracks.sub_qv if tracks is not None else None)
+    ins_pe = perr(tracks.ins_qv if tracks is not None else None)
+    del_pe = perr(tracks.del_qv if tracks is not None else None)
+    mis_pe = sub_pe if sub_pe is not None else base_pe
+    i_pe = ins_pe if ins_pe is not None else base_pe
+    d_pe = del_pe if del_pe is not None else base_pe
+    lm = np.log10(np.maximum(1.0 - base_pe, 1e-10))
+    lx = np.log10(mis_pe / 3.0)
+    li = np.log10(i_pe / 2.0)
+    ld = np.log10(d_pe / 2.0)
+    contrib = np.where(opc == OP_M, np.where(eq, lm, lx),
+                       np.where(opc == OP_I, li, ld))
     return float(contrib.sum())

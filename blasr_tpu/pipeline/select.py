@@ -64,15 +64,25 @@ def _log10_likelihood(a: Alignment, params: MappingParams, gi) -> float:
         return -a.score * _LAMBDA / math.log(10.0)
     from blasr_tpu.io.fasta import revcomp
     from blasr_tpu.pipeline.scoring import QVTracks, log10_prob_alignment
-    if a.strand == 0:
+    rc = a.strand == 1
+
+    def orient(v):
+        if v is None:
+            return None
+        return v[::-1] if rc else v
+
+    if not rc:
         oread, qa = a.read, a.qstart
-        qual = a.qual
     else:
         oread, qa = revcomp(a.read), a.qlen - a.qend
-        qual = a.qual[::-1] if a.qual is not None else None
+    qual = orient(a.qual)
     gs = gi.seqdb.chrom_to_genome(a.tindex, a.tstart)
     ge = gi.seqdb.chrom_to_genome(a.tindex, a.tend)
-    tracks = QVTracks(qual=qual)
+    t = a.tracks or {}
+    tracks = QVTracks(qual=qual,
+                      ins_qv=orient(t.get("InsertionQV")),
+                      del_qv=orient(t.get("DeletionQV")),
+                      sub_qv=orient(t.get("SubstitutionQV")))
     return log10_prob_alignment(a.cigar, oread, gi.genome[gs:ge], qa, 0,
                                 tracks, params.read_accuracy_prior)
 

@@ -99,3 +99,34 @@ def test_extend_recovers_trimmed_ends():
             assert tc == a.tend - a.tstart
             assert 0 <= a.qstart <= a.qend <= a.qlen
             assert 0 <= a.tstart <= a.tend <= a.tlen
+
+
+def test_bam_qv_tracks_thread_to_rescoring(tmp_path):
+    """iq/dq/sq BAM tags reach the mapQV rescore (IDSScoreFunction data
+    path; ReaderAgglomerate QV threading)."""
+    import numpy as np
+    from blasr_tpu.io.bam import BamRecord, BamWriter, read_bam_records
+    rng = np.random.default_rng(131)
+    seq = rng.integers(0, 4, 60).astype(np.int8)
+    qv = "".join(chr(20 + 33) for _ in range(60))
+    rec = BamRecord(qname="m/7/0_60", flag=4, ref_id=-1, pos=-1, mapq=255,
+                    cigar=[], seq=seq, qual=np.full(60, 25),
+                    tags={"iq": qv, "dq": qv, "sq": qv})
+    path = tmp_path / "in.bam"
+    with open(path, "wb") as f:
+        w = BamWriter(f, "@HD\tVN:1.5\n", [], [])
+        w.write_record(rec)
+        w.close()
+    reads = read_bam_records(str(path))
+    assert reads[0].tracks is not None
+    for name in ("InsertionQV", "DeletionQV", "SubstitutionQV"):
+        assert (reads[0].tracks[name] == 20).all()
+    # log-prob rescore consumes the tracks
+    from blasr_tpu.pipeline.scoring import QVTracks, log10_prob_alignment
+    t = QVTracks(qual=reads[0].qual, sub_qv=reads[0].tracks["SubstitutionQV"])
+    tgt = seq.copy()
+    tgt[5] = (tgt[5] + 1) % 4
+    lp_ids = log10_prob_alignment([("M", 60)], seq, tgt, 0, 0, t)
+    lp_plain = log10_prob_alignment([("M", 60)], seq, tgt, 0, 0,
+                                    QVTracks(qual=reads[0].qual))
+    assert lp_ids != lp_plain  # subQV (20) prices the mismatch vs qual (25)
