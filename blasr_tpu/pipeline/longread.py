@@ -1,0 +1,158 @@
+"""Ultra-long-read handling: segment, map, stitch.
+
+The reference handles unbounded read lengths with per-read dynamic
+allocation; the TPU pipeline works on fixed length buckets.  Reads longer
+than the largest bucket are split into overlapping segments, each segment
+maps through the standard pipeline, and collinear segment alignments are
+stitched back into one alignment (coordinates shifted by segment origin,
+the query overlap trimmed from the later segment's CIGAR).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from blasr_tpu.io.fasta import FastaRecord
+from blasr_tpu.pipeline.map_read import Alignment
+
+OVERLAP = 1024
+
+
+def split_read(rec: FastaRecord, seg_len: int,
+               overlap: int = OVERLAP) -> List[Tuple[int, FastaRecord]]:
+    """[(offset, segment record)] covering the read with overlaps."""
+    n = len(rec.seq)
+    step = seg_len - overlap
+    out = []
+    off = 0
+    while off < n:
+        end = min(off + seg_len, n)
+        out.append((off, FastaRecord(
+            f"{rec.title}|seg{off}", rec.seq[off:end],
+            rec.qual[off:end] if rec.qual is not None else None)))
+        if end >= n:
+            break
+        off += step
+    return out
+
+
+def trim_cigar_query_start(cigar: List, n: int):
+    """Drop the first n query-consuming columns.  Returns
+    (new_cigar, q_trimmed, t_trimmed, (match, mismatch, ins) removed upper
+    bounds) or None if the CIGAR can't supply n query bases cleanly."""
+    out = list(cigar)
+    q_rm = t_rm = m_rm = i_rm = 0
+    while out and q_rm < n:
+        op, cnt = out[0]
+        if op in "M=X":
+            take = min(cnt, n - q_rm)
+            q_rm += take
+            t_rm += take
+            m_rm += take
+            if take == cnt:
+                out.pop(0)
+            else:
+                out[0] = (op, cnt - take)
+        elif op == "I":
+            take = min(cnt, n - q_rm)
+            q_rm += take
+            i_rm += take
+            if take == cnt:
+                out.pop(0)
+            else:
+                out[0] = (op, cnt - take)
+        elif op in "DN":
+            t_rm += cnt
+            out.pop(0)
+        else:
+            return None
+    if q_rm < n or not out:
+        return None
+    # don't start on a gap op
+    while out and out[0][0] in "DN":
+        t_rm += out[0][1]
+        out.pop(0)
+    if not out:
+        return None
+    return out, q_rm, t_rm, (m_rm, i_rm)
+
+
+def stitch_segments(
+    rec: FastaRecord,
+    seg_alns: List[Tuple[int, List[Alignment]]],
+    params,
+) -> List[Alignment]:
+    """Merge per-segment alignments of one long read.
+
+    The merge runs in *oriented* coordinates (strand-local query
+    positions increase with target positions on both strands, and CIGARs
+    are stored in oriented order), so one pass handles both strands:
+    overlap trimmed from the later piece's CIGAR, small target gaps kept
+    as deletions."""
+    qlen = len(rec.seq)
+    shifted: List[Alignment] = []
+    for off, alns in seg_alns:
+        for a in alns[: params.n_best]:
+            shifted.append(dataclasses.replace(
+                a, qname=rec.name, qlen=qlen,
+                qstart=a.qstart + off, qend=a.qend + off))
+    # oriented query start: increases with tstart on both strands
+    def qo(a):
+        return a.qstart if a.strand == 0 else qlen - a.qend
+
+    def qo_end(a):
+        return a.qend if a.strand == 0 else qlen - a.qstart
+
+    shifted.sort(key=lambda a: (a.strand, a.tindex, qo(a), a.tstart))
+
+    merged: List[Alignment] = []
+    for a in shifted:
+        ok = False
+        if merged:
+            m = merged[-1]
+            q_overlap = qo_end(m) - qo(a)
+            if (m.strand == a.strand and m.tindex == a.tindex
+                    and 0 <= q_overlap <= OVERLAP + 64):
+                trimmed = trim_cigar_query_start(a.cigar or [], q_overlap)
+                if trimmed is not None:
+                    new_cigar, _, t_rm, (m_rm, i_rm) = trimmed
+                    t_gap = (a.tstart + t_rm) - m.tend
+                    if 0 <= t_gap <= 400:
+                        gap_cigar = [("D", t_gap)] if t_gap else []
+                        merged[-1] = dataclasses.replace(
+                            m,
+                            qstart=min(m.qstart, a.qstart),
+                            qend=max(m.qend, a.qend),
+                            tend=a.tend,
+                            score=m.score + a.score + 5 * m_rm,
+                            n_match=m.n_match + max(a.n_match - m_rm, 0),
+                            n_mismatch=m.n_mismatch + a.n_mismatch,
+                            n_ins=m.n_ins + max(a.n_ins - i_rm, 0),
+                            n_del=m.n_del + a.n_del + t_gap,
+                            cigar=(m.cigar or []) + gap_cigar + new_cigar,
+                        )
+                        ok = True
+        if not ok:
+            merged.append(a)
+    merged.sort(key=lambda x: x.score)
+    return merged
+
+
+def map_long_reads(mapper, recs, params) -> List[List[Alignment]]:
+    """Map reads longer than the largest bucket by segmenting + stitching."""
+    seg_len = mapper.cfg.buckets[-1]
+    out: List[List[Alignment]] = []
+    flat: List[FastaRecord] = []
+    index: List[List[Tuple[int, int]]] = []   # per read: (offset, flat idx)
+    for rec in recs:
+        segs = split_read(rec, seg_len)
+        index.append([(off, len(flat) + i) for i, (off, _) in enumerate(segs)])
+        flat.extend(s for _, s in segs)
+    seg_results = mapper.map_reads(flat)
+    for rec, segs in zip(recs, index):
+        per_seg = [(off, seg_results[i]) for off, i in segs]
+        out.append(stitch_segments(rec, per_seg, params))
+    return out

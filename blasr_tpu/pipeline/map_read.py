@@ -607,19 +607,15 @@ class Mapper:
                 and (p.max_read_length == 0 or len(r.seq) <= p.max_read_length)]
         for j in range(len(recs)):
             order[j] = []
+        # reads beyond the largest bucket take the segment+stitch path
+        long_items = [(j, r) for j, r in kept
+                      if len(r.seq) > self.cfg.buckets[-1]]
+        kept = [(j, r) for j, r in kept
+                if len(r.seq) <= self.cfg.buckets[-1]]
         buckets: Dict[int, List] = {}
-        n_trunc = 0
         for j, r in kept:
             b = self.cfg.bucket_for(len(r.seq))
-            if len(r.seq) > b:
-                n_trunc += 1
             buckets.setdefault(b, []).append((j, r))
-        if n_trunc:
-            import sys
-            sys.stderr.write(
-                f"WARNING: {n_trunc} reads exceed the largest length "
-                f"bucket ({self.cfg.buckets[-1]}); mapping their first "
-                f"{self.cfg.buckets[-1]} bases\n")
         for b, items in sorted(buckets.items()):
             batch = self.batch_size_for(b)
             results = self._run_bucket([r for _, r in items], b, batch)
@@ -647,6 +643,12 @@ class Mapper:
                 results = retry._run_bucket([r for _, r in items], b, batch)
                 for (j, _), alns in zip(items, results):
                     order[j] = alns
+        if long_items:
+            from blasr_tpu.pipeline.longread import map_long_reads
+            with self.metrics.clock("longReads"):
+                res = map_long_reads(self, [r for _, r in long_items], p)
+            for (j, _), alns in zip(long_items, res):
+                order[j] = alns
         if p.extend_alignments:
             from blasr_tpu.pipeline.extend import extend_alignment
             with self.metrics.clock("extendAlignments"):
