@@ -119,7 +119,7 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
     o_prev = []
     for it in range(ITEMS):
         o0 = off_ref[0, 0, it, 0]
-        s0 = srb_ref[0, 0, it, 0] >> 3
+        s0 = (srb_ref[0, 0, it, 0] & 0xFF) >> 3
         op = o0 - s0
         o_prev.append(op)
         rows.append(pltpu.roll(window_ref[0, it:it + 1, :], wlen - op,
@@ -128,14 +128,14 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
     t_abs = _vec8(o_prev) + jax.lax.broadcasted_iota(
         jnp.int32, (ITEMS, w_b), 1)
 
-    w_iota_f = jax.lax.broadcasted_iota(jnp.int32, (ITEMS, w_b), 1).astype(
-        jnp.float32)
+    w_iota_f = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (ITEMS, w_b), 1), (ITEMS, w_b)
+    ).astype(jnp.float32)
 
-    def row(r2, carry):
+    def row(r2, carry, srb):
+        # srb: (8, 1) packed s*8+rb for this row
         mM, mI, mD, tgt2, t_abs, combo = carry
         r = j * R + r2
-
-        srb = _vec8([srb_ref[0, 0, it, r2] for it in range(ITEMS)])
         s_v = srb >> 3
         rb = srb & 7
         m0 = s_v == 0
@@ -229,8 +229,15 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
         mD = jnp.where(active, D, mD)
         return mM, mI, mD, tgt2, t_abs, combo
 
+    def row4(r4, carry):
+        # one (8,1) construct serves four rows: srb words pack 4 bytes
+        srb_w = _vec8([srb_ref[0, 0, it, r4] for it in range(ITEMS)])
+        for k in range(4):
+            carry = row(r4 * 4 + k, carry, (srb_w >> (8 * k)) & 0xFF)
+        return carry
+
     carry0 = (mM_s[...], mI_s[...], mD_s[...], tgt2, t_abs, combo_s[...])
-    mM, mI, mD, _, _, combo = jax.lax.fori_loop(0, R, row, carry0)
+    mM, mI, mD, _, _, combo = jax.lax.fori_loop(0, R // 4, row4, carry0)
     mM_s[...] = mM
     mI_s[...] = mI
     mD_s[...] = mD
@@ -288,8 +295,12 @@ def pallas_banded_align(
     offsets = offsets.astype(jnp.int32)
     s = jnp.diff(offsets, axis=1, prepend=offsets[:, :1])
     srb = (s << 3) | reads.astype(jnp.int32)
-    # [N, L] -> [N8, J, 8, R]
-    srb = srb.reshape(N8, ITEMS, J, R).transpose(0, 2, 1, 3)
+    # pack 4 rows' codes per int32 (values < 32 fit a byte), then
+    # [N, L/4] -> [N8, J, 8, R/4]
+    srb4 = srb.reshape(N, L // 4, 4)
+    srb = (srb4[:, :, 0] | (srb4[:, :, 1] << 8) | (srb4[:, :, 2] << 16)
+           | (srb4[:, :, 3] << 24))
+    srb = srb.reshape(N8, ITEMS, J, R // 4).transpose(0, 2, 1, 3)
     off_t = offsets.reshape(N8, ITEMS, J, R).transpose(0, 2, 1, 3)
     wpad = jnp.concatenate(
         [windows.astype(jnp.int32),
@@ -307,8 +318,8 @@ def pallas_banded_align(
             pltpu.VMEM((ITEMS, R, w_b), jnp.int32),
         ],
         in_specs=[
-            pl.BlockSpec((1, 1, ITEMS, R), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.SMEM),   # srb
+            pl.BlockSpec((1, 1, ITEMS, R // 4), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),   # srb (4 rows / word)
             pl.BlockSpec((1, 1, ITEMS, R), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),   # offsets
             pl.BlockSpec((1, 1, ITEMS), lambda i, j: (i, 0, 0),
