@@ -186,7 +186,8 @@ def find_anchors(
     nlogp = seed_nlogp[:, :, None] + (length - k).astype(jnp.float32) * LOG4
 
     # top-A selection: valid first, longer first, then by (q, occ) for
-    # a deterministic order
+    # a deterministic order (lax.top_k measured slower here in the fused
+    # pipeline graph — full argsort fuses better)
     flat_valid = cand_valid.reshape(B, L * O)
     flat_len = length.reshape(B, L * O)
     flat_q = q.reshape(B, L * O)
