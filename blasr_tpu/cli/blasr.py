@@ -92,8 +92,6 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--fastMaxInterval", action="store_true")
     ap.add_argument("--aggressiveIntervalCut", action="store_true")
     ap.add_argument("--advanceHalf", action="store_true")
-    ap.add_argument("--advanceExactMatches2", dest="_ignore",
-                    action="store_true", help=argparse.SUPPRESS)
     # SDP / refinement
     ap.add_argument("--sdpTupleSize", type=int, default=11)
     ap.add_argument("--sdpIns", type=int, default=5)
@@ -216,6 +214,7 @@ def params_from_args(args) -> MappingParams:
                       if args.scoreMatrix else None),
         substitution_prior=args.substitutionPrior,
         global_deletion_prior=args.deletionPrior,
+        ignore_qualities=not args.useQuality,
         concordant_template=args.concordantTemplate,
         concordant_align_both_directions=args.concordantAlignBothDirections,
         flank_size=args.flankSize,

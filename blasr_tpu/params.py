@@ -126,6 +126,7 @@ class MappingParams:
     substitution_prior: int = 20
     global_deletion_prior: int = 13
     read_accuracy_prior: float = 0.85
+    ignore_qualities: bool = True   # reference default (--useQuality opts in)
 
     # modes
     forward_only: bool = False

@@ -10,6 +10,7 @@ parallelism degree (ctest/hitpolicy.t contract).
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import math
 from typing import List, Sequence
@@ -62,6 +63,8 @@ def _log10_likelihood(a: Alignment, params: MappingParams, gi) -> float:
     a score-proportional likelihood when the CIGAR/genome is unavailable."""
     if gi is None or not a.cigar or a.read is None:
         return -a.score * _LAMBDA / math.log(10.0)
+    if getattr(params, "ignore_qualities", True):
+        a = dataclasses.replace(a, qual=None, tracks=None)
     from blasr_tpu.io.fasta import revcomp
     from blasr_tpu.pipeline.scoring import QVTracks, log10_prob_alignment
     rc = a.strand == 1
