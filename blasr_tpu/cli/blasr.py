@@ -453,9 +453,12 @@ def emit(out, unaligned_f, reads, per_read, gi, params, cmdline="",
         out.write(formats.M4_HEADER)
     # pass 1: select every read's printed alignments
     chosen_all = []
+    from blasr_tpu.pipeline.zmw import zmw_key
     for rec, alns in zip(reads, per_read):
         store_map_qvs(alns, params, gi)
-        rint = zmw_rand_int(rec.name, params.random_seed)
+        # the random int is drawn per ZMW, so every subread of a hole and
+        # any parallel schedule sees the same stream (Blasr.cpp:192-194)
+        rint = zmw_rand_int(zmw_key(rec.name), params.random_seed)
         chosen_all.append(select_alignments(alns, params, rint))
     # subread-context threading for SAM/BAM (PrintAllReadAlignments,
     # BlasrUtilsImpl.hpp:1127-1212): alignments of a ZMW's subreads point
