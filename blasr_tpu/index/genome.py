@@ -165,7 +165,8 @@ def build_bucket_starts(keys_sorted: np.ndarray, k: int) -> np.ndarray:
     """Direct lookup table: bucket_starts[key] .. bucket_starts[key+1) is
     the pos_sorted range whose k-mer equals key.  The device-native form of
     the reference's SA prefix lookup table (BuildLookupTable,
-    Blasr.cpp:1101), sized 4^k+1 (k <= 13 keeps it <= 256 MiB int32).
+    Blasr.cpp:1101), sized 4^k+1 (k=14 is 1 GiB int32 — affordable
+    on 16 GB HBM and much faster than searchsorted for large genomes).
     Replaces the whole binary search with two gathers."""
     nb = 1 << (2 * k)
     counts = np.bincount(keys_sorted.astype(np.int64), minlength=nb)
@@ -184,15 +185,15 @@ def build_packed_words(genome: np.ndarray):
     byte-at-a-time gathers."""
     g = np.asarray(genome)
     n = len(g)
-    gw = np.zeros(n, dtype=np.uint64)
-    gn = np.zeros(n, dtype=np.uint64)
+    gw = np.zeros(n, dtype=np.uint32)
+    gn = np.zeros(n, dtype=np.uint32)
     for j in range(16):
-        shifted = np.full(n, 4, dtype=np.int64)
+        shifted = np.full(n, 4, dtype=np.uint8)
         shifted[: n - j] = g[j:]
-        gw |= ((shifted.astype(np.uint64) & 3) << np.uint64(2 * j))
-        gn |= (np.where(shifted >= 4, np.uint64(3), np.uint64(0))
-               << np.uint64(2 * j))
-    return gw.astype(np.uint32), gn.astype(np.uint32)
+        gw |= (shifted & 3).astype(np.uint32) << np.uint32(2 * j)
+        gn |= np.where(shifted >= 4, np.uint32(3),
+                       np.uint32(0)) << np.uint32(2 * j)
+    return gw, gn
 
 
 def build_ctab(genome: np.ndarray, ctab_k: int = 8) -> np.ndarray:
@@ -216,6 +217,6 @@ def build_genome_index(
     if with_suffix_array:
         from blasr_tpu.index.suffix_array import build_suffix_array
         sa = build_suffix_array(genome)
-    bs = build_bucket_starts(keys_sorted, k) if k <= 13 else None
+    bs = build_bucket_starts(keys_sorted, k) if k <= 14 else None
     return GenomeIndex(genome, seqdb, k, keys_sorted, pos_sorted, ctab_k,
                        ctab, sa, bs)

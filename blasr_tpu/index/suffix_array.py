@@ -96,17 +96,20 @@ def kmer_keys(codes: np.ndarray, k: int):
     valid[i] == True iff positions i..i+k-1 exist and contain only ACGT.
     Invalid or out-of-range positions get key 0.
     """
-    s = np.asarray(codes).astype(np.int64)
+    s = np.asarray(codes, dtype=np.uint8)
     n = len(s)
-    keys = np.zeros(n, dtype=np.int64)
-    ok = np.ones(n, dtype=bool)
     if n < k:
         return np.zeros(n, dtype=np.uint64), np.zeros(n, dtype=bool)
+    # uint32 path for k <= 16 (one third the memory traffic of int64 —
+    # matters for 100 Mbp+ genomes)
+    dt = np.uint32 if k <= 16 else np.uint64
+    keys = np.zeros(n, dtype=dt)
+    ok = np.ones(n, dtype=bool)
     for j in range(k):
-        shifted = np.zeros(n, dtype=np.int64)
+        shifted = np.full(n, 4, dtype=np.uint8)
         shifted[: n - j] = s[j:]
-        keys = (keys << 2) | (shifted & 3)
+        keys = (keys << dt(2)) | (shifted & 3).astype(dt)
         ok &= shifted < 4
     ok[n - k + 1:] = False
     keys[~ok] = 0
-    return keys.astype(np.uint64), ok
+    return keys.astype(np.uint64) if dt == np.uint64 else keys, ok
