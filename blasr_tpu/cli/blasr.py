@@ -17,7 +17,7 @@ from blasr_tpu.index.genome import GenomeIndex, build_genome_index
 from blasr_tpu.io import formats
 from blasr_tpu.io.fasta import read_fasta, read_sequences
 from blasr_tpu.io.fofn import expand_file_name_list
-from blasr_tpu.params import MappingParams, ShapeConfig
+from blasr_tpu.params import MappingParams
 from blasr_tpu.pipeline.map_read import Mapper
 from blasr_tpu.pipeline.select import select_alignments, store_map_qvs, zmw_rand_int
 

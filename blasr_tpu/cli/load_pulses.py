@@ -16,7 +16,7 @@ import numpy as np
 
 from blasr_tpu.io.cmph5 import ALN_COLUMNS, GAP, CmpH5
 from blasr_tpu.io.fofn import expand_file_name_list
-from blasr_tpu.io.hdf import QV_TRACKS, BaxReader
+from blasr_tpu.io.hdf import BaxReader
 
 DEFAULT_METRICS = ["QualityValue", "InsertionQV", "DeletionQV",
                    "SubstitutionQV"]

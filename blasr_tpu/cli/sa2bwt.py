@@ -13,8 +13,6 @@ import argparse
 import sys
 from typing import List, Optional
 
-import numpy as np
-
 from blasr_tpu.index.bwt import build_bwt, save_bwt
 from blasr_tpu.index.genome import GenomeIndex, concat_contigs
 from blasr_tpu.io.fasta import read_fasta

@@ -12,8 +12,6 @@ import argparse
 import sys
 from typing import List, Optional
 
-import numpy as np
-
 from blasr_tpu.io.cmph5 import CmpH5Writer, encode_aln_array
 from blasr_tpu.io.fasta import md5_of_seq, read_fasta, revcomp
 from blasr_tpu.io.samparse import read_sam

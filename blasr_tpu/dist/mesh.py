@@ -19,15 +19,14 @@ shards; the automated version of the reference's documented
 
 from __future__ import annotations
 
-import functools
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from blasr_tpu.index.genome import GenomeIndex, SeqDB, build_kmer_index
+from blasr_tpu.index.genome import GenomeIndex, build_kmer_index
 from blasr_tpu.pipeline.map_read import (
     COL_DPSLOT, COL_NANCH, COL_SCORE, COL_TE, COL_TS, COL_VALID, N_COLS,
     DeviceIndex, PackedBatch, map_batch)

@@ -21,7 +21,6 @@ windows are clamped to contig bounds via the seqdb
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 

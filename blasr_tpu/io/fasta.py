@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import gzip
 import hashlib
-import io as _io
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional
 
 import numpy as np
 

@@ -9,8 +9,6 @@ from __future__ import annotations
 import re
 from typing import Dict, Iterator, List, Optional, TextIO, Tuple
 
-import numpy as np
-
 from blasr_tpu.io.fasta import encode, revcomp
 from blasr_tpu.pipeline.map_read import Alignment
 

@@ -11,7 +11,7 @@ for alignments that survive selection, so this is not a device kernel.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -11,9 +11,7 @@ the query overlap trimmed from the later segment's CIGAR).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
-
-import numpy as np
+from typing import List, Tuple
 
 from blasr_tpu.io.fasta import FastaRecord
 from blasr_tpu.pipeline.map_read import Alignment

@@ -22,9 +22,8 @@ time, where the reference's tests actually observe them.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

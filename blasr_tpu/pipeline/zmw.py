@@ -29,9 +29,9 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from blasr_tpu.index.genome import GenomeIndex, build_genome_index
+from blasr_tpu.index.genome import build_genome_index
 from blasr_tpu.io.fasta import FastaRecord
-from blasr_tpu.params import MappingParams, ShapeConfig
+from blasr_tpu.params import MappingParams
 from blasr_tpu.pipeline.map_read import Alignment, Mapper
 
 _SUBREAD_RE = re.compile(r"^(.+)/(\d+)/(\d+)_(\d+)$")
