@@ -235,9 +235,25 @@ def map_batch(
     def pick(x):
         return jnp.take(x.reshape(n2 * C, *x.shape[2:]), sel, axis=0)
 
-    ts = pick(cands.t_start)
-    te = pick(cands.t_end)
-    ci = jnp.searchsorted(index.contig_starts, ts, side="right") - 1
+    # widen the chain span toward the read ends: error-dense head/tail
+    # regions often carry no anchors, but the global banded DP aligns them
+    # correctly once inside the span (AlignIntervals aligns the whole
+    # subread against the interval; chain spans underestimate it).  Each
+    # side widens by the available query overhang (up to `margin`), and
+    # the target by the same amount, so full-span chains are unchanged.
+    margin = 96
+    read_row = sel // C                                      # [N_dp]
+    rlen_sel = jnp.take(rlen2, read_row)
+    qa0 = pick(cands.q_start)
+    qb0 = jnp.maximum(pick(cands.q_end), qa0 + 1)
+    head = jnp.minimum(qa0, margin)
+    tail = jnp.clip(rlen_sel - qb0, 0, margin)
+    ts0 = pick(cands.t_start)
+    ts = jnp.maximum(ts0 - head, 0)
+    te = pick(cands.t_end) + tail
+    # contig lookup uses the unwidened start (the widening may cross a
+    # boundary; the clamps below pull the span back inside the contig)
+    ci = jnp.searchsorted(index.contig_starts, ts0, side="right") - 1
     ci = jnp.clip(ci, 0, index.contig_starts.shape[0] - 1)
     c_lo = index.contig_starts[ci]
     c_hi = index.contig_ends[ci]
@@ -256,10 +272,9 @@ def map_batch(
     tb = jnp.minimum(jnp.minimum(te, c_hi), ws + W) - ws
     tb = jnp.maximum(tb, ta + 1)
 
-    read_row = sel // C                                      # [N_dp]
     reads_sel = jnp.take(reads2, read_row, axis=0)           # [N_dp, L]
-    qa = pick(cands.q_start)
-    qb = jnp.maximum(pick(cands.q_end), qa + 1)
+    qa = qa0 - head
+    qb = jnp.maximum(jnp.minimum(qb0 + tail, rlen_sel), qa + 1)
 
     mcw = mq.shape[-1]
     offs = _band_offsets(

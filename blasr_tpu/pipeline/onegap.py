@@ -53,24 +53,34 @@ def join_one_gap(alns: List[Alignment], params) -> List[Alignment]:
             if (b.strand != merged.strand or b.tindex != merged.tindex):
                 continue
             q_gap = b.qstart - merged.qend
-            t_gap = b.tstart - merged.tend
-            # one-gap criterion: query nearly contiguous (small overlaps
-            # are trimmed), target gap large but bounded
-            if not (-20 <= q_gap <= 50
-                    and max(q_gap, 0) * 4 < t_gap <= MAX_ONE_GAP):
+            # one-gap criterion: query nearly contiguous (overlaps from the
+            # span widening are trimmed as long as they stay a minority of
+            # the shorter piece — larger overlaps mean alternative
+            # placements of the same region, not a spliced continuation)
+            shorter = min(merged.qend - merged.qstart, b.qend - b.qstart)
+            if not (-256 <= q_gap <= 50 and -q_gap < 0.5 * shorter):
                 continue
             if merged.strand == 1:
                 # strand-local CIGAR order is reversed wrt forward-read
                 # coordinates; only join forward-strand pairs here
                 continue
             if q_gap < 0:
-                b = _trim_query_start(b, -q_gap)
-                if b is None:
+                from blasr_tpu.pipeline.longread import \
+                    trim_cigar_query_start
+                trimmed = trim_cigar_query_start(b.cigar or [], -q_gap)
+                if trimmed is None:
                     continue
+                new_cigar, q_rm, t_rm, (m_rm, i_rm) = trimmed
+                import dataclasses as _dc
+                b = _dc.replace(
+                    b, qstart=b.qstart + q_rm, tstart=b.tstart + t_rm,
+                    n_match=max(b.n_match - m_rm, 0),
+                    n_ins=max(b.n_ins - i_rm, 0),
+                    score=b.score + 5 * m_rm, cigar=new_cigar)
                 q_gap = 0
-                t_gap = b.tstart - merged.tend
-                if t_gap <= 0:
-                    continue
+            t_gap = b.tstart - merged.tend
+            if not (max(q_gap, 0) * 4 < t_gap <= MAX_ONE_GAP):
+                continue
             gap_cigar = []
             if q_gap:
                 gap_cigar.append(("I", q_gap))
