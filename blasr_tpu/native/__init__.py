@@ -57,6 +57,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.bwt_invert_u8.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.c_uint8, ctypes.POINTER(ctypes.c_uint8)]
+            lib.cigar_from_packed.restype = ctypes.c_int64
+            lib.cigar_from_packed.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
             _lib = lib
             return _lib
         except OSError:
@@ -82,6 +87,31 @@ def sais_native(codes: np.ndarray) -> Optional[np.ndarray]:
     if n < 2**31:
         return sa.astype(np.int32)
     return sa
+
+
+_OPSYM = {1: "M", 2: "I", 3: "D", 4: "X"}
+
+
+def cigar_native(packed: np.ndarray, allow_adjacent: bool):
+    """CIGAR runs from 2-bit packed end-first ops; None if the extension
+    is unavailable.  Returns [(op_char, count), ...] in alignment order,
+    adjacent I/D pairs folded into 'X' unless allow_adjacent."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "cigar_from_packed"):
+        return None
+    p = np.ascontiguousarray(packed, dtype=np.uint8)
+    max_runs = p.size * 4 + 1
+    ops = np.empty(max_runs, dtype=np.uint8)
+    cnts = np.empty(max_runs, dtype=np.int32)
+    n = lib.cigar_from_packed(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(p.size), ctypes.c_int(1 if allow_adjacent else 0),
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(max_runs))
+    if n < 0:
+        return None
+    return [(_OPSYM[int(o)], int(c)) for o, c in zip(ops[:n], cnts[:n])]
 
 
 def bwt_invert_native(bwt: np.ndarray, sentinel: int) -> Optional[np.ndarray]:

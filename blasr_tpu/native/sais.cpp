@@ -10,6 +10,7 @@
 //   int sais_u8(const uint8_t* s, int64_t n, int64_t* sa)
 // Returns 0 on success.  `sa` must have space for n entries.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -152,6 +153,76 @@ int bwt_invert_u8(const uint8_t* bwt, int64_t n, uint8_t sentinel,
         out[i] = bwt[row];
     }
     return 0;
+}
+
+// CIGAR assembly from 2-bit packed traceback ops (host collect hot path).
+// packed: nbytes bytes, 4 ops each (LSB-first), emitted end-first by the
+// device traceback; op codes 0 stop, 1 M, 2 I, 3 D.  Decodes, reverses to
+// alignment order, run-length encodes, and (unless allow_adjacent) folds
+// adjacent I/D pairs into mismatch columns ('X' runs), matching the
+// Python ops_to_cigar + merge_adjacent_indels semantics exactly.
+// out_ops: 1 M, 2 I, 3 D, 4 X.  Returns the run count, or -1 on overflow.
+int64_t cigar_from_packed(const uint8_t* packed, int64_t nbytes,
+                          int allow_adjacent,
+                          uint8_t* out_ops, int32_t* out_counts,
+                          int64_t max_runs) {
+    // decode end-first ops, skip stops, build runs in reverse order
+    std::vector<uint8_t> ops;
+    std::vector<int32_t> cnt;
+    for (int64_t b = 0; b < nbytes; b++) {
+        uint8_t byte = packed[b];
+        for (int k = 0; k < 4; k++) {
+            uint8_t op = (byte >> (2 * k)) & 3;
+            if (op == 0) continue;
+            if (!ops.empty() && ops.back() == op) {
+                cnt.back()++;
+            } else {
+                ops.push_back(op);
+                cnt.push_back(1);
+            }
+        }
+    }
+    // reverse to alignment order
+    std::vector<uint8_t> rops(ops.rbegin(), ops.rend());
+    std::vector<int32_t> rcnt(cnt.rbegin(), cnt.rend());
+    if (!allow_adjacent) {
+        // iterate until no adjacent I/D (or D/I) pairs remain
+        bool changed = true;
+        while (changed) {
+            changed = false;
+            std::vector<uint8_t> o2;
+            std::vector<int32_t> c2;
+            size_t i = 0;
+            auto push = [&](uint8_t op, int32_t n) {
+                if (!o2.empty() && o2.back() == op) c2.back() += n;
+                else { o2.push_back(op); c2.push_back(n); }
+            };
+            while (i < rops.size()) {
+                if (i + 1 < rops.size()
+                    && (rops[i] == 2 || rops[i] == 3)
+                    && (rops[i + 1] == 2 || rops[i + 1] == 3)
+                    && rops[i] != rops[i + 1]) {
+                    int32_t m = std::min(rcnt[i], rcnt[i + 1]);
+                    push(4, m);  // 'X' mismatch columns
+                    if (rcnt[i] > m) push(rops[i], rcnt[i] - m);
+                    if (rcnt[i + 1] > m) push(rops[i + 1], rcnt[i + 1] - m);
+                    i += 2;
+                    changed = true;
+                } else {
+                    push(rops[i], rcnt[i]);
+                    i++;
+                }
+            }
+            rops.swap(o2);
+            rcnt.swap(c2);
+        }
+    }
+    if ((int64_t)rops.size() > max_runs) return -1;
+    for (size_t i = 0; i < rops.size(); i++) {
+        out_ops[i] = rops[i];
+        out_counts[i] = rcnt[i];
+    }
+    return (int64_t)rops.size();
 }
 
 // s: byte string; the wrapper appends a unique 0 sentinel internally, so

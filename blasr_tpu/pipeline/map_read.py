@@ -574,9 +574,17 @@ class Mapper:
                 slot = int(res.dp_slot[row, c])
                 if slot < 0:
                     continue
-                cigar = ops_to_cigar(res.ops[slot])
-                if not p.allow_adjacent_indels:
-                    cigar = merge_adjacent_indels(cigar)
+                cigar = None
+                try:
+                    from blasr_tpu.native import cigar_native
+                    cigar = cigar_native(res.ops[slot],
+                                         p.allow_adjacent_indels)
+                except Exception:
+                    cigar = None
+                if cigar is None:
+                    cigar = ops_to_cigar(res.ops[slot])
+                    if not p.allow_adjacent_indels:
+                        cigar = merge_adjacent_indels(cigar)
                 if p.cigar_use_seq_match:
                     from blasr_tpu.io.fasta import revcomp
                     oq = rec.seq if strand == 0 else revcomp(rec.seq[:rlen])

@@ -144,3 +144,33 @@ def test_deterministic_rerun(world):
                     a.cigar) == \
                    (b.score, b.tstart, b.tend, b.qstart, b.qend, b.strand,
                     b.cigar)
+
+
+def test_native_cigar_matches_python():
+    """The C++ CIGAR assembler must match ops_to_cigar +
+    merge_adjacent_indels exactly (host collect hot path)."""
+    import numpy as np
+    from blasr_tpu.native import cigar_native
+    from blasr_tpu.pipeline.map_read import (merge_adjacent_indels,
+                                             ops_to_cigar)
+    rng = np.random.default_rng(0)
+    checked = 0
+    for _ in range(100):
+        n_ops = int(rng.integers(0, 200))
+        ops = rng.choice([0, 1, 2, 3], size=n_ops,
+                         p=[0.05, 0.6, 0.175, 0.175]).astype(np.uint8)
+        pad = (-len(ops)) % 4
+        full = np.concatenate([ops, np.zeros(pad, np.uint8)])
+        o4 = full.reshape(-1, 4).astype(np.uint32)
+        packed = (o4[:, 0] | (o4[:, 1] << 2) | (o4[:, 2] << 4)
+                  | (o4[:, 3] << 6)).astype(np.uint8)
+        for adj in (True, False):
+            got = cigar_native(packed, adj)
+            if got is None:
+                return  # extension unavailable in this environment
+            want = ops_to_cigar(packed)
+            if not adj:
+                want = merge_adjacent_indels(want)
+            assert got == want
+            checked += 1
+    assert checked
