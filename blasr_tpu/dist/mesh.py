@@ -165,7 +165,18 @@ def map_batch_ref_sharded(
         order = jnp.argsort(key, axis=1, stable=True)[:, :C]
         top = jnp.take_along_axis(merged, order[..., None], axis=1)
         top = top.at[..., COL_NANCH].set(nanch[:, :1])
-        return PackedBatch(ints=top, ops=g_ops.reshape(n_shards * n_dp, t_len))
+        # merge cluster lists: union over shards, keep the heaviest
+        # gate-passing clusters (ClusterList analog stays fixed-width)
+        g_cl = jax.lax.all_gather(res.clusters, "ref", axis=0)
+        c_stat = res.clusters.shape[1]
+        mcl = jnp.moveaxis(g_cl, 0, 1).reshape(
+            g_cl.shape[1], n_shards * c_stat, 2)
+        ckey = jnp.where(mcl[..., 1] > 0, -mcl[..., 0],
+                         jnp.int32(0x3FFFFFFF))
+        corder = jnp.argsort(ckey, axis=1, stable=True)[:, :c_stat]
+        top_cl = jnp.take_along_axis(mcl, corder[..., None], axis=1)
+        return PackedBatch(ints=top, ops=g_ops.reshape(n_shards * n_dp, t_len),
+                           clusters=top_cl)
 
     from jax import shard_map
     fn = shard_map(

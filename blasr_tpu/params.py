@@ -228,8 +228,12 @@ class ShapeConfig:
     #                               placement accuracy as 36/4, ~12% faster)
     band_width: int = 128         # banded-DP band (lane-aligned)
     n_candidates: int = 10        # candidate intervals refined per read
-    dp_cands: int = 4             # candidates per read that get banded DP
-    #                               (top-N across the batch by chain weight)
+    dp_cands: int = 0             # candidates per read that get banded DP;
+    #                               0 = all (reference semantics: every
+    #                               WeightedInterval is aligned); >0 caps
+    #                               the DP rows per batch with per-read
+    #                               fairness (each read keeps its top
+    #                               dp_cands candidates)
     window_pad: float = 0.35      # genome window = bucket*(1+window_pad)
 
     def bucket_for(self, length: int) -> int:

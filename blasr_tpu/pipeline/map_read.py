@@ -69,8 +69,9 @@ class DeviceIndex(NamedTuple):
 
 # column indices of PackedBatch.ints
 (COL_VALID, COL_QA, COL_QB, COL_TS, COL_TE, COL_NMATCH, COL_NMIS, COL_NINS,
- COL_NDEL, COL_DPSLOT, COL_SCORE, COL_CHSCORE, COL_CHANCH, COL_NANCH) = range(14)
-N_COLS = 14
+ COL_NDEL, COL_DPSLOT, COL_SCORE, COL_CHSCORE, COL_CHANCH, COL_NANCH,
+ COL_CVALID) = range(15)
+N_COLS = 15
 
 
 class PackedBatch(NamedTuple):
@@ -78,6 +79,9 @@ class PackedBatch(NamedTuple):
 
     ints: jnp.ndarray       # int32 [2B, C, N_COLS] columns per COL_*
     ops: jnp.ndarray        # uint8 [N_dp, T/4] 2-bit-packed end-first ops
+    clusters: jnp.ndarray   # int32 [2B, C_stat, 2] (chain weight, gate ok):
+    #                         the ClusterList analog, deeper than C so
+    #                         numSignificantClusters can exceed nCandidates
 
 
 class BatchResult(NamedTuple):
@@ -99,19 +103,27 @@ class BatchResult(NamedTuple):
     chain_score: np.ndarray   # [2B, C] anchor-chain weight
     chain_anchors: np.ndarray  # [2B, C]
     n_anchors: np.ndarray      # [2B] anchors found on this strand
+    chain_valid: np.ndarray    # bool [2B, C] candidate passed the
+    #                            significance gate (ClusterList entry)
+    cluster_bases: np.ndarray  # [2B, C_stat] chain weight per examined
+    #                            cluster (ClusterList.numBases analog)
+    cluster_valid: np.ndarray  # bool [2B, C_stat]
 
 
 def unpack_batch(pb: PackedBatch) -> BatchResult:
     """Fetch a PackedBatch to host numpy and expand the column block."""
     ints = np.asarray(pb.ints)
     ops = np.asarray(pb.ops)
+    clusters = np.asarray(pb.clusters)
     c = [ints[..., i] for i in range(ints.shape[-1])]
     return BatchResult(
         score=c[10].astype(np.float32), valid=c[0] > 0,
         q_start=c[1], q_end=c[2], t_start=c[3], t_end=c[4],
         n_match=c[5], n_mismatch=c[6], n_ins=c[7], n_del=c[8],
         ops=ops, dp_slot=c[9], chain_score=c[11].astype(np.float32),
-        chain_anchors=c[12], n_anchors=c[13][:, 0],
+        chain_anchors=c[12], n_anchors=c[13][:, 0], chain_valid=c[14] > 0,
+        cluster_bases=clusters[..., 0].astype(np.float32),
+        cluster_valid=clusters[..., 1] > 0,
     )
 
 
@@ -206,25 +218,48 @@ def map_batch(
         max_lcp=max_lcp, bucket_starts=index.bucket_starts,
         gwords=index.gwords, gnwords=index.gnwords)
 
-    cands = chain_anchors(anchors, rlen2, n_cand=C, indel_rate=indel_rate,
-                          rank_by_pvalue=p_value_type in (0, 1, 2))
+    # the chain scan emits max(C, 8) intervals: the first C feed the DP
+    # path; all of them are recorded as the ClusterList analog so
+    # numSignificantClusters can exceed nCandidates (the reference's
+    # clusterList sees every examined window, BlasrAlignImpl.hpp:436-455)
+    C_stat = max(C, 8)
+    cands_all = chain_anchors(anchors, rlen2, n_cand=C_stat,
+                              indel_rate=indel_rate,
+                              rank_by_pvalue=p_value_type in (0, 1, 2))
     # significance gate: drop candidate intervals explainable by chance
     # (reference: anchor-distribution mapQV gate + LIS P-value,
     # BlasrAlignImpl.hpp:391-488)
-    cands = cands._replace(
-        valid=(cands.valid & (cands.nlogp >= jnp.float32(sig_thresh))
-               & (cands.score >= jnp.float32(min_interval_weight))))
+    cands_all = cands_all._replace(
+        valid=(cands_all.valid & (cands_all.nlogp >= jnp.float32(sig_thresh))
+               & (cands_all.score >= jnp.float32(min_interval_weight))))
+    cluster_stats = jnp.stack(
+        [cands_all.score.astype(jnp.int32),
+         cands_all.valid.astype(jnp.int32)], axis=-1)
+    cands = cands_all._replace(
+        q_start=cands_all.q_start[:, :C], q_end=cands_all.q_end[:, :C],
+        t_start=cands_all.t_start[:, :C], t_end=cands_all.t_end[:, :C],
+        score=cands_all.score[:, :C], n_anchors=cands_all.n_anchors[:, :C],
+        nlogp=cands_all.nlogp[:, :C], valid=cands_all.valid[:, :C],
+        end_idx=cands_all.end_idx[:, :C])
     mq, mt, ml, mvalid = chain_members(cands, anchors, max_chain=max_chain)
 
-    # candidate compaction: only the top N_dp candidates across the batch
-    # (by chain weight) proceed to the expensive banded DP.  The reference
-    # aligns every WeightedInterval; after the significance gate most
-    # candidate slots here are invalid, so this is pure saving.
+    # candidate compaction: with C_dp == 0 (the default) every candidate
+    # slot gets a banded-DP row — the reference aligns every
+    # WeightedInterval (iblasr/BlasrAlignImpl.hpp:553-607) and dp-block
+    # early exit makes the (mostly invalid) tail cheap.  With C_dp > 0
+    # only n2*C_dp rows run DP, selected by *within-read candidate rank*
+    # first, then chain weight: every read's top-r candidates outrank any
+    # read's rank-(r+1) ones, so each read is guaranteed its C_dp best
+    # candidates (lossless whenever total valid <= n2*C_dp).
     n2 = 2 * B
     c_dp = C_dp if C_dp > 0 else C
     n_dp = n2 * c_dp
     flat_valid = cands.valid.reshape(-1)
-    rank = jnp.where(flat_valid, -cands.score.reshape(-1), jnp.float32(1e30))
+    # chain_anchors emits candidates best-first per row, so the column
+    # index is the within-read rank; scores are anchor bases < 2^17
+    c_rank = jax.lax.broadcasted_iota(jnp.int32, (n2, C), 1).reshape(-1)
+    sc_i = jnp.clip(cands.score.reshape(-1), 0, 131071).astype(jnp.int32)
+    rank = jnp.where(flat_valid, c_rank * 131072 + (131071 - sc_i), BIG32)
     sel = jnp.argsort(rank, stable=True)[:n_dp].astype(jnp.int32)
     # group similar query spans into the same 8-item DP block so the
     # kernel's per-block early exit skips the shared inactive tail
@@ -326,8 +361,9 @@ def map_batch(
         cands.score.reshape(n2, C).astype(jnp.int32),
         cands.n_anchors.reshape(n2, C),
         jnp.broadcast_to(anchors.n_total[:, None], (n2, C)),
+        cands.valid.reshape(n2, C).astype(jnp.int32),
     ], axis=-1)
-    return PackedBatch(ints=ints, ops=packed)
+    return PackedBatch(ints=ints, ops=packed, clusters=cluster_stats)
 
 
 # ---------------------------------------------------------------------------
@@ -361,6 +397,9 @@ class Alignment:
     tracks: Optional[dict] = None      # named QV tracks (fwd orientation)
     n_candidates: int = 0
     n_significant_clusters: int = 0
+    cluster_weight: float = 0.0  # anchor bases of the producing chain
+    #                              (WeightedInterval size; feeds the
+    #                              anchor-distribution significance gate)
 
     @property
     def pct_similarity(self) -> float:
@@ -476,7 +515,9 @@ class Mapper:
         from blasr_tpu.pipeline.metrics import MappingMetrics
         self.gi = gi
         self.params = params.make_sane()
-        self.cfg = cfg or ShapeConfig()
+        # --nCandidates drives the device candidate capacity when no
+        # explicit shape config is given
+        self.cfg = cfg or ShapeConfig(n_candidates=self.params.n_candidates)
         self.metrics = metrics or MappingMetrics()
         self.dev = dev if dev is not None else DeviceIndex.from_host(gi)
         m = np.asarray(self.params.score_matrix, dtype=np.float32).reshape(25)
@@ -609,9 +650,24 @@ class Mapper:
                     n_del=int(res.n_del[row, c]),
                     cigar=cigar, read=rec.seq, qual=rec.qual,
                     tracks=getattr(rec, "tracks", None),
+                    cluster_weight=float(res.chain_score[row, c]),
                 ))
+        # alignment-level pruning (RemoveLowQualitySDPAlignments /
+        # RemoveLowQualityAlignments / RemoveOverlappingAlignments,
+        # BlasrUtilsImpl.hpp:447-605)
+        from blasr_tpu.pipeline.select import (
+            num_significant_clusters, prune_alignments)
+        alns = prune_alignments(alns, p, read_len=rlen)
+        # anchor-distribution significance gate -> numSignificantClusters
+        # (BlasrAlignImpl.hpp:391-488); the cluster list is the gate-passing
+        # examined-cluster chain weights of both strands
+        cl = np.concatenate([
+            res.cluster_bases[i][res.cluster_valid[i]],
+            res.cluster_bases[i + B][res.cluster_valid[i + B]]])
+        nsig = num_significant_clusters(alns, cl, p, k=self.gi.k)
         for a in alns:
             a.n_candidates = len(alns)
+            a.n_significant_clusters = nsig
         if self.params.verbosity >= 1 and alns:
             # interval prints (reference -V, BlasrAlignImpl.hpp:260-277)
             import sys

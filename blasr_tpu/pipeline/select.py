@@ -17,7 +17,8 @@ from typing import List, Sequence
 
 import numpy as np
 
-from blasr_tpu.params import MAX_PHRED_SCORE, MappingParams
+from blasr_tpu.params import (MAPQV_END_ALIGN_WIGGLE, MAX_PHRED_SCORE,
+                              MappingParams)
 from blasr_tpu.pipeline.map_read import Alignment
 
 # score -> log-prob scale: Phred-like, ln(10)/10 per score unit
@@ -90,40 +91,173 @@ def _log10_likelihood(a: Alignment, params: MappingParams, gi) -> float:
                                 tracks, params.read_accuracy_prior)
 
 
+def _sum_mismatches(a: Alignment, full_start: int, full_end: int,
+                    params: MappingParams) -> float:
+    """SumMismatches (BlasrUtilsImpl.hpp:344-366): penalty for the query
+    bases of the partition's full interval this alignment leaves
+    uncovered — substitution QVs when available, else 15 per base."""
+    t = a.tracks or {}
+    subqv = t.get("SubstitutionQV")
+    if not params.ignore_qualities and subqv is not None:
+        return float(np.sum(subqv[full_start:a.qstart])
+                     + np.sum(subqv[a.qend:full_end]))
+    return 15.0 * ((a.qstart - full_start) + (full_end - a.qend))
+
+
+def _phred(p: float) -> int:
+    """Phred(p) = -10 log10 p, capped at MAX_PHRED_SCORE."""
+    if p <= 0.0:
+        return MAX_PHRED_SCORE
+    return min(MAX_PHRED_SCORE, max(0, int(round(-10.0 * math.log10(p)))))
+
+
 def store_map_qvs(alns: List[Alignment], params: MappingParams,
                   gi=None) -> None:
     """Assign mapQV per alignment: Phred of 1 - P(this | its overlap group),
     with P from a log-sum-exp over log-prob-rescored group members
-    (StoreMapQVs, BlasrUtilsImpl.hpp:236-304)."""
+    (StoreMapQVs, BlasrUtilsImpl.hpp:108-309).  Members trimmed more than
+    MAPQV_END_ALIGN_WIGGLE short of the partition's widest member pay a
+    mismatch penalty for the uncovered bases (:219-236)."""
     if not alns:
         return
     groups = partition_overlapping(alns, params.min_fraction_to_be_considered_overlapping)
     for g in groups:
         if len(g) == 1:
             alns[g[0]].map_qv = MAX_PHRED_SCORE
+            if params.scale_mapqv_by_num_significant_clusters:
+                scale_mapqv_by_cluster_size(alns[g[0]], params)
             continue
         lls = np.array([_log10_likelihood(alns[i], params, gi) for i in g])
+        # the partition's full interval is its widest member's query span
+        spans = [(alns[i].qstart, alns[i].qend) for i in g]
+        full_s, full_e = max(spans, key=lambda s: s[1] - s[0])
+        for k, i in enumerate(g):
+            s, e = spans[k]
+            if (s - full_s > MAPQV_END_ALIGN_WIGGLE
+                    or full_e - e > MAPQV_END_ALIGN_WIGGLE):
+                lls[k] += -0.5 * _sum_mismatches(
+                    alns[i], full_s, full_e, params)
         mx = lls.max()
         lse = mx + math.log10(np.power(10.0, lls - mx).sum())
         for k, i in enumerate(g):
-            p = 10.0 ** (lls[k] - lse)
-            if p >= 1.0:
-                qv = MAX_PHRED_SCORE
+            sub = lls[k] - lse
+            if sub < -20.0:  # overflow guard (BlasrUtilsImpl.hpp:268)
+                qv = 0
             else:
-                qv = int(round(-10.0 * math.log10(max(1.0 - p, 1e-26))))
-            alns[i].map_qv = min(MAX_PHRED_SCORE, max(0, qv))
-    if params.scale_mapqv_by_num_significant_clusters:
-        scale_mapqv_by_cluster_size(alns)
+                expo = 10.0 ** sub
+                diff = 1.0 - expo
+                if expo == 0.0:
+                    qv = 0
+                elif diff == 0.0:
+                    qv = MAX_PHRED_SCORE
+                else:
+                    qv = _phred(diff)
+            alns[i].map_qv = qv
+            if params.scale_mapqv_by_num_significant_clusters:
+                scale_mapqv_by_cluster_size(alns[i], params)
 
 
-def scale_mapqv_by_cluster_size(alns: List[Alignment]) -> None:
-    """ScaleMapQVByClusterSize (BlasrUtilsImpl.hpp:97-106): reads whose
-    anchor distribution shows many significant clusters get scaled-down
-    confidence."""
+def scale_mapqv_by_cluster_size(a: Alignment, params: MappingParams) -> None:
+    """ScaleMapQVByClusterSize (BlasrUtilsImpl.hpp:97-106): more
+    significant anchor clusters than candidate slots means unexamined
+    competitor placements, so confidence is scaled down; zero significant
+    clusters means the placement is not anchor-supported at all."""
+    if a.n_significant_clusters > params.n_candidates:
+        p_correct = 1.0 - 10.0 ** (-a.map_qv / 10.0)
+        a.map_qv = _phred(
+            p_correct * params.n_candidates / a.n_significant_clusters)
+    elif a.n_significant_clusters == 0:
+        a.map_qv = 0
+
+
+def num_significant_clusters(alns: List[Alignment], cluster_bases,
+                             params: MappingParams, *, k: int) -> int:
+    """numSignificantClusters (BlasrAlignImpl.hpp:391-488): compare the
+    best alignment's anchor bases against the expected anchor-base
+    distribution for a true placement, then count clusters at least as
+    large as the scaled minimum expectation.
+
+    The reference looks the mean/sd up in the precompiled
+    ``PacBio::AnchorDistributionTable`` (libcpp, absent); here they are
+    derived analytically from the aligned length, the best alignment's
+    percent similarity and the seed size k: with per-base accuracy p a
+    read of length L has ~L(1-p) maximal exact runs whose length is
+    geometric, giving expected bases in runs >= k of
+    L(1-p)p^k(k + p/(1-p)); sd is taken as mean/4 (Poisson-ish run
+    counts).  cluster_bases is the ClusterList analog: the chain weights
+    of candidates that passed the significance gate on either strand."""
+    if not alns:
+        return 0
+    best = min(alns, key=lambda a: a.score)
+    L = max(best.qend - best.qstart, 1)
+    p_acc = min(max(best.pct_similarity / 100.0, 0.75), 0.999)
+    e = 1.0 - p_acc
+    mean_ab = L * e * (p_acc ** k) * (k + p_acc / e)
+    sd_ab = mean_ab / 4.0
+    ab = max(float(best.cluster_weight), 1.0)
+    if ab > mean_ab + sd_ab:
+        return 1
+    nsig = 0
+    if best.score < params.max_score:
+        cl = np.asarray(cluster_bases, dtype=np.float64)
+        if cl.size:
+            min_exp = max(mean_ab - 2.0 * sd_ab, 0.0)
+            scaled = float(cl.max()) / ab * min_exp
+            nsig = int((cl >= scaled).sum())
+    return nsig
+
+
+def prune_alignments(alns: List[Alignment], params: MappingParams,
+                     read_len: int = 0) -> List[Alignment]:
+    """The reference's alignment-level pruning family, applied in its
+    order on the score-sorted candidate list (BlasrAlignImpl.hpp:358-383):
+
+    1. RemoveLowQualitySDPAlignments (BlasrUtilsImpl.hpp:447-474):
+       cumulative matched bases over the list must reach
+       sdpTupleSize/50 * readLength (the reference accumulates across
+       alignments; kept faithfully).
+    2. RemoveLowQualityAlignments (:476-519): the first of the leading
+       nCandidates alignments with no blocks or score worse than
+       maxScore cuts the rest of the (score-sorted) list.  maxScore
+       applies unconditionally here, as in the reference.
+    3. RemoveOverlappingAlignments (:523-605): same-contig alignments
+       whose genomic span is contained in a better-scoring one are
+       dropped.
+    """
+    alns = sorted(alns, key=_sort_key)
+    rl = read_len if read_len else (alns[0].qlen if alns else 0)
+    expected = params.sdp_tuple_size / 50.0 * rl
+    total = 0
+    kept = []
     for a in alns:
-        n = max(1, a.n_significant_clusters)
-        if n > 1:
-            a.map_qv = int(a.map_qv / n)
+        total += a.n_match
+        if total >= expected:
+            kept.append(a)
+    alns = kept
+    cut = len(alns)
+    for i in range(min(params.n_candidates, len(alns))):
+        if not alns[i].cigar or alns[i].score > params.max_score:
+            cut = i
+            break
+    alns = alns[:cut]
+    contained = [False] * len(alns)
+    for i in range(max(len(alns) - 1, 0)):
+        a = alns[i]
+        if a.pct_similarity < params.min_pct_similarity:
+            continue
+        for j in range(i + 1, len(alns)):
+            if contained[j]:
+                continue
+            b = alns[j]
+            if a.tindex != b.tindex:
+                continue
+            if a.tstart <= b.tstart and a.tend >= b.tend:
+                if a.score <= b.score:
+                    contained[j] = True
+            elif b.tstart <= a.tstart and b.tend >= a.tend:
+                if b.score <= a.score:
+                    contained[i] = True
+    return [a for a, c in zip(alns, contained) if not c]
 
 
 def pct_accuracy(a: Alignment) -> float:
