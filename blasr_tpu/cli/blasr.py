@@ -92,6 +92,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--fastMaxInterval", action="store_true")
     ap.add_argument("--aggressiveIntervalCut", action="store_true")
     ap.add_argument("--advanceHalf", action="store_true")
+    ap.add_argument("--useSensitiveSearch", action="store_true")
+    ap.add_argument("--minRatio", type=float, default=0.25,
+                    help="accepted for reference compatibility (the "
+                         "reference parses but never reads it)")
+    # accepted-but-unsupported interval-search internals: rejected loudly
+    # below instead of silently parsing
+    ap.add_argument("--nowarp", action="store_true")
+    ap.add_argument("--globalChainType", type=int, default=0)
     # SDP / refinement
     ap.add_argument("--sdpTupleSize", type=int, default=11)
     ap.add_argument("--sdpIns", type=int, default=5)
@@ -199,6 +207,8 @@ def params_from_args(args) -> MappingParams:
         fast_max_interval=args.fastMaxInterval,
         aggressive_interval_cut=args.aggressiveIntervalCut,
         advance_half=args.advanceHalf,
+        do_sensitive_search=args.useSensitiveSearch,
+        min_ratio=args.minRatio,
         sdp_tuple_size=args.sdpTupleSize,
         sdp_ins=args.sdpIns,
         sdp_del=args.sdpDel,
@@ -270,6 +280,16 @@ def log(msg: str) -> None:
 
 def run(argv: Optional[List[str]] = None) -> int:
     args = build_arg_parser().parse_args(argv)
+    # unsupported requests fail loudly rather than silently parsing
+    if args.nowarp:
+        sys.stderr.write("ERROR: --nowarp is not supported by blasr_tpu "
+                         "(the warp interval search is the only chain "
+                         "formulation here)\n")
+        return 1
+    if args.globalChainType != 0:
+        sys.stderr.write("ERROR: --globalChainType != 0 is not supported "
+                         "by blasr_tpu\n")
+        return 1
     params = params_from_args(args)
     log("started.")
 

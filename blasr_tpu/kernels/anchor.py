@@ -58,7 +58,8 @@ def read_kmer_keys(reads: jnp.ndarray, read_len: jnp.ndarray, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "occ_per_pos", "max_anchors", "anchor_ext",
-                     "min_match", "max_anchors_per_pos", "max_lcp"),
+                     "min_match", "max_anchors_per_pos", "max_lcp",
+                     "advance_exact"),
 )
 def find_anchors(
     genome: jnp.ndarray,        # int8 [G]
@@ -74,6 +75,10 @@ def find_anchors(
     min_match: int,
     max_anchors_per_pos: int,
     max_lcp: int = 0,
+    advance_exact: int = 0,
+    # --advanceExactMatches E (RegisterBlasrOptions.h:64-65): after an
+    # exact match of length l at read position q, skip query positions up
+    # to q + l - E before seeding again — a speed knob trading sensitivity
     bucket_starts: jnp.ndarray = None,  # int32 [4^k+1] direct lookup table
     gwords: jnp.ndarray = None,   # uint32 [G] packed 16-base genome words
     gnwords: jnp.ndarray = None,  # uint32 [G] non-ACGT bit pairs
@@ -178,6 +183,18 @@ def find_anchors(
     if max_lcp > 0:
         length = jnp.minimum(length, max_lcp)
     cand_valid &= length >= min_match
+
+    if advance_exact > 0:
+        # suppress query positions inside any earlier anchor's exact run
+        # (up to its length minus advance_exact): skip[q] iff
+        # q < max_{j<q}(j + len_j - advance_exact)
+        maxlen = jnp.max(jnp.where(cand_valid, length, 0), axis=2)  # [B, L]
+        pos2 = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        reach = jnp.where(maxlen > 0, pos2 + maxlen - advance_exact, -1)
+        reach_prev = jnp.concatenate(
+            [jnp.full((B, 1), -1, jnp.int32),
+             jax.lax.cummax(reach, axis=1)[:, :-1]], axis=1)
+        cand_valid &= (pos2 >= reach_prev)[:, :, None]
 
     # anchor significance in nats (see docstring)
     LOG4 = jnp.float32(1.3862944)

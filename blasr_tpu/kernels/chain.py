@@ -47,7 +47,9 @@ class Candidates(NamedTuple):
     parent: jnp.ndarray    # int32 [B, A] chain parent pointer (-1 = start)
 
 
-@functools.partial(jax.jit, static_argnames=("n_cand", "rank_by_pvalue"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_cand", "rank_by_pvalue", "lookback",
+                                    "p_value_type"))
 def chain_anchors(
     anchors: Anchors,
     read_len: jnp.ndarray,       # int32 [B]
@@ -60,27 +62,54 @@ def chain_anchors(
     # rank_by_pvalue selects the interval-ranking weightor: False = total
     # anchor bases (LISSizeWeightor), True = chain significance
     # (LISPValueWeightor family, p-value types 0-2; BlasrHeaders.h:54-57)
+    p_value_type: int = 0,
+    # distinct weightors (iblasr/BlasrHeaders.h:54-57), active when
+    # rank_by_pvalue: 0 = tuple-frequency P-value (occurrence-weighted,
+    # overlap-scaled), 1 = match-frequency P-value (anchor bases * log 4,
+    # genome frequency ignored), 2 = plain sum of per-anchor log P
+    # (no overlap scaling)
+    lookback: int = 0,
+    # transition window: each anchor considers only the lookback most
+    # recent (t-sorted) anchors as chain predecessors.  0 = all (the
+    # exhaustive default); --fastMaxInterval / --advanceHalf set finite
+    # windows (RegisterBlasrOptions.h:172-173, help :331-337: "not as
+    # exhaustive as the default, but much faster")
 ) -> Candidates:
     q, t, l, valid = anchors.q, anchors.t, anchors.l, anchors.valid
     B, A = q.shape
+    D = A if lookback <= 0 or lookback > A else lookback
     wlen = (read_len.astype(jnp.float32) * (1.0 + indel_rate)).astype(jnp.int32)
 
     qf = q.astype(jnp.int32)
     tf = t.astype(jnp.int32)
-    lf = l.astype(jnp.float32)
+
+    # carries are left-padded by D so the per-step predecessor window
+    # [i-D, i) is a static-size dynamic slice (column j lives at j+D)
+    def padc(x, fill):
+        return jnp.concatenate(
+            [jnp.full((B, D), fill, x.dtype), x], axis=1)
+
+    qfp = padc(qf, -BIG)
+    tfp = padc(tf, -BIG)
+    vp = padc(valid, False)
+
+    def win(x, i):
+        return jax.lax.dynamic_slice(x, (0, i), (B, D))
 
     def step(carry, i):
-        best, sq, st, cnt, sump, parent = carry
-        # transitions j -> i for all j (anchors are t-sorted, so j<i in t
-        # order; enforce t_j < t_i explicitly to be safe with ties)
+        best, sq, st, cnt, sump, sumr, parent = carry
+        # transitions j -> i for the D most recent j (t-sorted; enforce
+        # t_j < t_i explicitly to be safe with ties)
         qi = qf[:, i]          # [B]
         ti = tf[:, i]
-        dq = qi[:, None] - qf
-        dt = ti[:, None] - tf
+        qj = win(qfp, i)
+        tj = win(tfp, i)
+        dq = qi[:, None] - qj
+        dt = ti[:, None] - tj
         drift = jnp.abs(dt - dq).astype(jnp.float32)
         span = jnp.maximum(dq, dt).astype(jnp.float32)
         ok = (
-            valid
+            win(vp, i)
             & valid[:, i][:, None]
             & (dq > 0)
             & (dt > 0)
@@ -90,53 +119,71 @@ def chain_anchors(
         # overlap-clipped gain to avoid double counting overlapping anchors
         li = l[:, i][:, None].astype(jnp.float32)
         gain = jnp.minimum(li, jnp.minimum(dq, dt).astype(jnp.float32))
-        cand = jnp.where(ok, best + gain, NEG)
-        j_best = jnp.argmax(cand, axis=1)                     # [B]
-        v_best = jnp.take_along_axis(cand, j_best[:, None], 1)[:, 0]
+        cand = jnp.where(ok, win(best, i) + gain, NEG)
+        w_best = jnp.argmax(cand, axis=1)                     # [B]
+        j_best = i - D + w_best.astype(jnp.int32)             # absolute index
+        v_best = jnp.take_along_axis(cand, w_best[:, None], 1)[:, 0]
         li0 = l[:, i].astype(jnp.float32)
         start_new = v_best < li0                              # start fresh chain
         best_i = jnp.where(start_new, li0, v_best)
-        sq_i = jnp.where(start_new, qi,
-                         jnp.take_along_axis(sq, j_best[:, None], 1)[:, 0])
-        st_i = jnp.where(start_new, ti,
-                         jnp.take_along_axis(st, j_best[:, None], 1)[:, 0])
-        par_i = jnp.where(start_new, -1, j_best.astype(jnp.int32))
-        cnt_i = jnp.where(
-            start_new, 1,
-            jnp.take_along_axis(cnt, j_best[:, None], 1)[:, 0] + 1)
+
+        def pick(x, fill):
+            return jnp.where(
+                start_new, fill,
+                jnp.take_along_axis(win(x, i), w_best[:, None], 1)[:, 0])
+
+        sq_i = pick(sq, qi)
+        st_i = pick(st, ti)
+        par_i = jnp.where(start_new, -1, j_best)
+        cnt_i = jnp.where(start_new, 1, pick(cnt, 0) + 1)
         # significance accumulates scaled by the non-overlapped fraction
         pi = anchors.nlogp[:, i]
         frac = jnp.where(
             start_new, 1.0,
-            jnp.take_along_axis(gain, j_best[:, None], 1)[:, 0]
+            jnp.take_along_axis(gain, w_best[:, None], 1)[:, 0]
             / jnp.maximum(li0, 1.0))
-        sump_i = jnp.where(
-            start_new, pi,
-            jnp.take_along_axis(sump, j_best[:, None], 1)[:, 0] + pi * frac)
-        best = best.at[:, i].set(jnp.where(valid[:, i], best_i, NEG))
-        sq = sq.at[:, i].set(sq_i)
-        st = st.at[:, i].set(st_i)
-        cnt = cnt.at[:, i].set(jnp.where(valid[:, i], cnt_i, 0))
-        sump = sump.at[:, i].set(jnp.where(valid[:, i], sump_i, 0.0))
-        parent = parent.at[:, i].set(jnp.where(valid[:, i], par_i, -1))
-        return (best, sq, st, cnt, sump, parent), None
+        sump_i = jnp.where(start_new, pi, pick(sump, 0.0) + pi * frac)
+        sumr_i = jnp.where(start_new, pi, pick(sumr, 0.0) + pi)
+        vi = valid[:, i]
+        iD = i + D
+        best = best.at[:, iD].set(jnp.where(vi, best_i, NEG))
+        sq = sq.at[:, iD].set(sq_i)
+        st = st.at[:, iD].set(st_i)
+        cnt = cnt.at[:, iD].set(jnp.where(vi, cnt_i, 0))
+        sump = sump.at[:, iD].set(jnp.where(vi, sump_i, 0.0))
+        sumr = sumr.at[:, iD].set(jnp.where(vi, sumr_i, 0.0))
+        parent = parent.at[:, i].set(jnp.where(vi, par_i, -1))
+        return (best, sq, st, cnt, sump, sumr, parent), None
 
-    best0 = jnp.full((B, A), NEG, dtype=jnp.float32)
-    sq0 = jnp.zeros((B, A), dtype=jnp.int32)
-    st0 = jnp.zeros((B, A), dtype=jnp.int32)
-    cnt0 = jnp.zeros((B, A), dtype=jnp.int32)
-    sump0 = jnp.zeros((B, A), dtype=jnp.float32)
+    def padded(fill, dtype):
+        return jnp.full((B, A + D), fill, dtype)
+
     par0 = jnp.full((B, A), -1, dtype=jnp.int32)
-    (best, sq, st, cnt, sump, parent), _ = jax.lax.scan(
-        step, (best0, sq0, st0, cnt0, sump0, par0), jnp.arange(A))
+    (bestp, sqp, stp, cntp, sumpp, sumrp, parent), _ = jax.lax.scan(
+        step,
+        (padded(NEG, jnp.float32), padded(0, jnp.int32),
+         padded(0, jnp.int32), padded(0, jnp.int32),
+         padded(0.0, jnp.float32), padded(0.0, jnp.float32), par0),
+        jnp.arange(A))
+    best, sq, st = bestp[:, D:], sqp[:, D:], stp[:, D:]
+    cnt, sump, sumr = cntp[:, D:], sumpp[:, D:], sumrp[:, D:]
 
     # select top n_cand chain ends, suppressing ends whose interval overlaps
     # an already-selected one on the genome (nCandidates distinct windows)
     q_end_all = qf + anchors.l
     t_end_all = tf + anchors.l
 
-    rank_key = (jnp.where(best > NEG * 0.5, sump, NEG)
-                if rank_by_pvalue else best)
+    if rank_by_pvalue:
+        LOG4 = jnp.float32(1.3862944)
+        if p_value_type == 1:
+            pkey = best * LOG4
+        elif p_value_type == 2:
+            pkey = sumr
+        else:
+            pkey = sump
+        rank_key = jnp.where(best > NEG * 0.5, pkey, NEG)
+    else:
+        rank_key = best
 
     def select(carry, _):
         remaining, = carry

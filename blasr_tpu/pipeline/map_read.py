@@ -186,7 +186,8 @@ def _band_offsets(mq, mt, ws, L, W, w_b):
     static_argnames=("cfg_k", "L", "W", "w_b", "C", "A", "O", "E", "T",
                      "max_chain", "min_match", "max_anchors_per_pos",
                      "max_lcp", "indel_rate", "C_dp", "use_pallas",
-                     "p_value_type"),
+                     "p_value_type", "lookback", "aggressive_cut",
+                     "advance_exact"),
 )
 def map_batch(
     index: DeviceIndex,
@@ -202,7 +203,8 @@ def map_batch(
     cfg_k: int, L: int, W: int, w_b: int, C: int, A: int, O: int, E: int,
     T: int, max_chain: int, min_match: int, max_anchors_per_pos: int,
     max_lcp: int, indel_rate: float, C_dp: int = 0, use_pallas: bool = False,
-    p_value_type: int = 3,
+    p_value_type: int = 3, lookback: int = 0, aggressive_cut: bool = False,
+    advance_exact: int = 0,
 ) -> PackedBatch:
     B = reads.shape[0]
     G = index.genome.shape[0]
@@ -215,7 +217,8 @@ def map_batch(
         index.genome, index.keys_sorted, index.pos_sorted, reads2, rlen2,
         k=cfg_k, occ_per_pos=O, max_anchors=A, anchor_ext=E,
         min_match=min_match, max_anchors_per_pos=max_anchors_per_pos,
-        max_lcp=max_lcp, bucket_starts=index.bucket_starts,
+        max_lcp=max_lcp, advance_exact=advance_exact,
+        bucket_starts=index.bucket_starts,
         gwords=index.gwords, gnwords=index.gnwords)
 
     # the chain scan emits max(C, 8) intervals: the first C feed the DP
@@ -225,13 +228,22 @@ def map_batch(
     C_stat = max(C, 8)
     cands_all = chain_anchors(anchors, rlen2, n_cand=C_stat,
                               indel_rate=indel_rate,
-                              rank_by_pvalue=p_value_type in (0, 1, 2))
+                              rank_by_pvalue=p_value_type in (0, 1, 2),
+                              p_value_type=p_value_type, lookback=lookback)
     # significance gate: drop candidate intervals explainable by chance
     # (reference: anchor-distribution mapQV gate + LIS P-value,
     # BlasrAlignImpl.hpp:391-488)
     cands_all = cands_all._replace(
         valid=(cands_all.valid & (cands_all.nlogp >= jnp.float32(sig_thresh))
                & (cands_all.score >= jnp.float32(min_interval_weight))))
+    if aggressive_cut:
+        # --aggressiveIntervalCut (RegisterBlasrOptions.h:334-337): once a
+        # promising candidate exists, drop non-promising ones (< 1/3 of
+        # the best chain weight) — short ALU-like hits are ignored
+        best_w = jnp.max(jnp.where(cands_all.valid, cands_all.score, 0.0),
+                         axis=1, keepdims=True)
+        cands_all = cands_all._replace(
+            valid=cands_all.valid & (cands_all.score * 3.0 >= best_w))
     cluster_stats = jnp.stack(
         [cands_all.score.astype(jnp.int32),
          cands_all.valid.astype(jnp.int32)], axis=-1)
@@ -541,6 +553,19 @@ class Mapper:
             gaps = [p.insertion, p.insertion, p.deletion, p.deletion]
         self.gap_costs = jnp.asarray(gaps, dtype=jnp.float32)
 
+    def _chain_lookback(self) -> int:
+        """Transition-window size for the chain DP: --fastMaxInterval
+        limits each anchor to the 64 most recent predecessors (the
+        reference's faster, less exhaustive interval search); --advanceHalf
+        halves whatever window applies (its "clustering begins at
+        a_(n/2)" speed trick, RegisterBlasrOptions.h:312-316)."""
+        p = self.params
+        d = 64 if p.fast_max_interval else 0
+        if p.advance_half:
+            base = d if d else self.cfg.max_anchors
+            d = max(base // 2, 32)
+        return d
+
     def batch_size_for(self, bucket: int) -> int:
         # keep traceback HBM bounded: 2B*C*L*w_b bytes
         budget = 1 << 28
@@ -578,7 +603,10 @@ class Mapper:
                     max_anchors_per_pos=p.max_anchors_per_position,
                     max_lcp=p.max_match_length, indel_rate=p.indel_rate,
                     C_dp=cfg.dp_cands, use_pallas=self.use_pallas,
-                    p_value_type=p.p_value_type)
+                    p_value_type=p.p_value_type,
+                    lookback=self._chain_lookback(),
+                    aggressive_cut=p.aggressive_interval_cut,
+                    advance_exact=p.advance_exact_matches)
             pending.append((group, lens, res))
         # phase 2: collect (transfers overlap with later batches' compute)
         for group, lens, res in pending:
@@ -677,6 +705,16 @@ class Mapper:
                     f"{a.tstart} {a.tend} {int(a.score)} {a.strand}\n")
         return alns
 
+    def _expanded(self, expand: int) -> "Mapper":
+        """Mapper with anchoring loosened by 2^expand (the reference's
+        expand parameter widens SA search bounds per retry)."""
+        cfg = dataclasses.replace(
+            self.cfg,
+            occ_per_pos=self.cfg.occ_per_pos * 2 ** expand,
+            max_anchors=self.cfg.max_anchors * 2 ** expand)
+        return Mapper(self.gi, self.params, cfg, metrics=self.metrics,
+                      dev=self.dev)
+
     def map_reads(self, recs: Sequence[FastaRecord]) -> List[List[Alignment]]:
         """Map reads; returns per-read alignment lists in input order."""
         p = self.params
@@ -695,33 +733,54 @@ class Mapper:
         for j, r in kept:
             b = self.cfg.bucket_for(len(r.seq))
             buckets.setdefault(b, []).append((j, r))
+        # the initial pass runs at expansion level minExpand (the
+        # reference's expand loop starts there, BlasrAlignImpl.hpp:24,
+        # RegisterBlasrOptions.h --minExpand)
+        first = self if p.min_expand == 0 else self._expanded(p.min_expand)
         for b, items in sorted(buckets.items()):
-            batch = self.batch_size_for(b)
-            results = self._run_bucket([r for _, r in items], b, batch)
+            batch = first.batch_size_for(b)
+            results = first._run_bucket([r for _, r in items], b, batch)
             for (j, _), alns in zip(items, results):
                 order[j] = alns
         # expand-retry loop (reference minExpand..maxExpand,
         # BlasrAlignImpl.hpp:319-336): reads with no alignment are retried
         # with progressively looser anchoring (more seed occurrences and
         # anchor capacity per retry)
-        for expand in range(1, p.max_expand + 1):
+        for expand in range(p.min_expand + 1, p.max_expand + 1):
             misses = [(j, r) for j, r in kept if not order[j]]
             if not misses:
                 break
-            cfg = dataclasses.replace(
-                self.cfg,
-                occ_per_pos=self.cfg.occ_per_pos * 2 ** expand,
-                max_anchors=self.cfg.max_anchors * 2 ** expand)
-            retry = Mapper(self.gi, p, cfg, metrics=self.metrics,
-                           dev=self.dev)
+            retry = self._expanded(expand)
             rbuckets: Dict[int, List] = {}
             for j, r in misses:
-                rbuckets.setdefault(cfg.bucket_for(len(r.seq)), []).append((j, r))
+                rbuckets.setdefault(
+                    retry.cfg.bucket_for(len(r.seq)), []).append((j, r))
             for b, items in sorted(rbuckets.items()):
                 batch = retry.batch_size_for(b)
                 results = retry._run_bucket([r for _, r in items], b, batch)
                 for (j, _), alns in zip(items, results):
                     order[j] = alns
+        if p.do_sensitive_search:
+            # --useSensitiveSearch (Blasr.cpp:404-414): reads that are
+            # unmapped or whose best alignment is < 80% similar are re-run
+            # with SetForSensitivity parameters (advanceExactMatches=0 +
+            # looser anchoring); the sensitive result replaces the first
+            # when it finds anything
+            weak = [(j, r) for j, r in kept
+                    if not order[j]
+                    or max(a.pct_similarity for a in order[j]) < 80.0]
+            if weak:
+                sp = dataclasses.replace(p, advance_exact_matches=0,
+                                         do_sensitive_search=False)
+                scfg = dataclasses.replace(
+                    self.cfg, occ_per_pos=self.cfg.occ_per_pos * 2,
+                    max_anchors=self.cfg.max_anchors * 2)
+                sens = Mapper(self.gi, sp, scfg, metrics=self.metrics,
+                              dev=self.dev)
+                for (j, r), alns in zip(
+                        weak, sens.map_reads([r for _, r in weak])):
+                    if alns:
+                        order[j] = alns
         if long_items:
             from blasr_tpu.pipeline.longread import map_long_reads
             with self.metrics.clock("longReads"):
