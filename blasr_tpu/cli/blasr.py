@@ -77,6 +77,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--nproc", type=int, default=1,
                     help="accepted for compatibility; device batch is used")
     ap.add_argument("--scaleMapQVByNClusters", action="store_true")
+    ap.add_argument("--noStoreMapQV", action="store_true",
+                    help="skip mapQV computation (RegisterBlasrOptions.h:55)")
+    ap.add_argument("--printOnlyBest", action="store_true")
     ap.add_argument("--concordant", action="store_true")
     ap.add_argument("--useccs", action="store_true")
     ap.add_argument("--useccsall", action="store_true")
@@ -264,6 +267,8 @@ def params_from_args(args) -> MappingParams:
         print_unaligned_names_only=args.noPrintUnalignedSeqs,
         start_read=args.start, stride=args.stride, subsample=args.subsample,
         scale_mapqv_by_num_significant_clusters=args.scaleMapQVByNClusters,
+        store_map_qv=not args.noStoreMapQV,
+        print_only_best=args.printOnlyBest,
         concordant=args.concordant,
         use_ccs=args.useccs or args.useccsall,
         use_all_subreads_in_ccs=args.useccsall,
@@ -400,7 +405,13 @@ def run(argv: Optional[List[str]] = None) -> int:
     with prof:
         if ccs_groups:
             from blasr_tpu.pipeline.zmw import map_ccs_groups
-            reads, per_read = map_ccs_groups(mapper, ccs_groups, params)
+            ccs_reads, ccs_per_read = map_ccs_groups(
+                mapper, ccs_groups, params)
+            # inputs mixing ccs.h5 with plain read files: the non-CCS
+            # records map through the standard path and are appended
+            plain_per_read = mapper.map_reads(reads) if reads else []
+            reads = list(reads) + list(ccs_reads)
+            per_read = list(plain_per_read) + list(ccs_per_read)
             markers = None  # record list was re-derived from CCS groups
         elif params.concordant:
             from blasr_tpu.pipeline.zmw import map_concordant
@@ -475,7 +486,8 @@ def emit(out, unaligned_f, reads, per_read, gi, params, cmdline="",
     chosen_all = []
     from blasr_tpu.pipeline.zmw import zmw_key
     for rec, alns in zip(reads, per_read):
-        store_map_qvs(alns, params, gi)
+        if params.store_map_qv:  # --noStoreMapQV skips it (Blasr.cpp:421)
+            store_map_qvs(alns, params, gi)
         # the random int is drawn per ZMW, so every subread of a hole and
         # any parallel schedule sees the same stream (Blasr.cpp:192-194)
         rint = zmw_rand_int(zmw_key(rec.name), params.random_seed)

@@ -97,11 +97,48 @@ def merge_outputs(out_path: str, n_hosts: int,
             out.write(groups[idx])
 
 
-def run_sharded(argv: List[str]) -> int:
+def _out_path_of(argv: Sequence[str]) -> Optional[str]:
+    for i, a in enumerate(argv):
+        if a in ("--out", "-o") and i + 1 < len(argv):
+            return argv[i + 1]
+        if a.startswith("--out="):
+            return a.split("=", 1)[1]
+    return None
+
+
+def run_sharded(argv: List[str], barrier_timeout: float = 3600.0) -> int:
     """Entry point used by each host of a multi-host launch: run the
-    standard CLI on this host's read shard, then host 0 merges."""
+    standard CLI on this host's read shard; after all hosts finish
+    (sentinel-file barrier, which works under jax.distributed and plain
+    multi-process launches alike), host 0 merges the part files into the
+    final output."""
+    import time
+
     host_id, n_hosts = init_distributed()
     os.environ["BLASR_TPU_HOST_ID"] = str(host_id)
     os.environ["BLASR_TPU_NUM_HOSTS"] = str(n_hosts)
     from blasr_tpu.cli.blasr import run
-    return run(argv)
+    rc = run(argv)
+    out_path = _out_path_of(argv)
+    if n_hosts <= 1 or out_path in (None, "-"):
+        return rc
+    if any(f in argv for f in ("--bam",)):
+        return rc  # BAM parts are left per-host (binary merge is external)
+    done = shard_path(out_path, host_id, n_hosts) + ".done"
+    with open(done, "w") as f:
+        f.write(str(rc))
+    if host_id != 0:
+        return rc
+    # host 0: wait for every host's sentinel, then merge + clean up
+    deadline = time.time() + barrier_timeout
+    sentinels = [shard_path(out_path, h, n_hosts) + ".done"
+                 for h in range(n_hosts)]
+    while not all(os.path.exists(s) for s in sentinels):
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"run_sharded: hosts not finished after {barrier_timeout}s")
+        time.sleep(0.2)
+    merge_outputs(out_path, n_hosts, [])
+    for s in sentinels:
+        os.remove(s)
+    return rc

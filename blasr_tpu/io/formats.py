@@ -206,6 +206,39 @@ def _cigar_string(cigar: List, use_seq_match: bool) -> str:
     return "".join(f"{n}{o}" for o, n in out)
 
 
+# --printSAMQV: the SAMPrinter's PacBio QV tags (RegisterBlasrOptions.h
+# samqv option; tags as in cli/bax2bam.py TAG_OF_TRACK)
+_SAMQV_TAGS = [("iq", "InsertionQV"), ("dq", "DeletionQV"),
+               ("sq", "SubstitutionQV"), ("mq", "MergeQV"),
+               ("dt", "DeletionTag"), ("st", "SubstitutionTag")]
+_COMP = {65: "T", 67: "G", 71: "C", 84: "A", 78: "N"}
+
+
+def _samqv_values(a: Alignment, qa: int, qb: int, whole: bool):
+    """[(tag, string)] for the tracks present, oriented with the record
+    (QVs reversed, tag bases complemented on the reverse strand) and
+    clipped like the SEQ field."""
+    t = a.tracks or {}
+    out = []
+    for tag, name in _SAMQV_TAGS:
+        v = t.get(name)
+        if v is None:
+            continue
+        if name.endswith("Tag"):
+            if a.strand:
+                s = [_COMP.get(int(x), "N") for x in v[::-1]]
+            else:
+                s = [chr(int(x)) for x in v]
+            s = s if whole else s[qa:qb]
+            out.append((tag, "".join(s)))
+        else:
+            q = v[::-1] if a.strand else v
+            q = q if whole else q[qa:qb]
+            out.append((tag, "".join(chr(min(93, int(x)) + 33)
+                                     for x in q)))
+    return out
+
+
 def write_sam(f: TextIO, a: Alignment, params=None,
               rnext: str = "*", pnext: int = 0):
     clipping = getattr(params, "clipping", "none") if params else "none"
@@ -249,6 +282,9 @@ def write_sam(f: TextIO, a: Alignment, params=None,
         decode(seq), qualstr,
         f"AS:i:{int(a.score)}", f"NM:i:{edit_dist}",
     ]
+    if params is not None and getattr(params, "print_sam_qv", False):
+        fields += [f"{tag}:Z:{val}" for tag, val in _samqv_values(
+            a, qa, qb, clipping in ("soft", "subread"))]
     f.write("\t".join(fields) + "\n")
 
 
@@ -293,13 +329,16 @@ def to_bam_record(a: Alignment, params=None, ref_ids: Optional[dict] = None):
         qual = q[qa:qb] if q is not None else None
         base = a.qname if "/" not in a.qname else a.qname.rsplit("/", 1)[0]
         qname = f"{base}/{a.qstart}_{a.qend}"
+    tags = {"AS": int(a.score), "NM": a.n_mismatch + a.n_ins + a.n_del,
+            "RG": "default"}
+    if params is not None and getattr(params, "print_sam_qv", False):
+        tags.update(_samqv_values(a, qa, qb,
+                                  clipping in ("soft", "subread")))
     return BamRecord(
         qname=qname, flag=16 if a.strand else 0,
         ref_id=(ref_ids or {}).get(a.tname, a.tindex),
         pos=a.tstart, mapq=min(a.map_qv, 254), cigar=cigar, seq=seq,
-        qual=qual,
-        tags={"AS": int(a.score), "NM": a.n_mismatch + a.n_ins + a.n_del,
-              "RG": "default"},
+        qual=qual, tags=tags,
     )
 
 

@@ -136,3 +136,44 @@ def sdp_align(
         q_start=qs, q_end=qe, t_start=ts, t_end=te,
         score=cands.score[:, 0], n_frags=cands.n_anchors[:, 0],
         valid=ok, mq=mq, mt=mt, ml=ml)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "occ"))
+def window_fragment_diags(
+    rkeys: jnp.ndarray,    # uint32 [N, L] query k-mer keys (k = sdpTupleSize)
+    rvalid: jnp.ndarray,   # bool [N, L]
+    windows: jnp.ndarray,  # int8 [N, W] candidate genome windows
+    wlens: jnp.ndarray,    # int32 [N]
+    *,
+    k: int,
+    occ: int,
+):
+    """SDP fragment set in guide form, batched per candidate window: for
+    every query position, up to ``occ`` window positions whose k-mer
+    matches exactly (the between-anchor SDPAlign fragment match,
+    iblasr/BlasrAlignImpl.hpp:902-909, with sdpTupleSize k; --fastSDP
+    maps to occ=1).  Returns (diag, valid) with diag = w_pos - q_pos in
+    window coordinates, [N, L, occ].  The guide merge in
+    pipeline/map_read._band_offsets gates and chains these by flanking
+    chain-anchor diagonals, densifying the band path through anchor
+    deserts."""
+    N, L = rkeys.shape
+    W = windows.shape[1]
+    wkeys, wval = read_kmer_keys(windows, wlens, k)
+    wkey_m = jnp.where(wval, wkeys, jnp.uint32(0xFFFFFFFF))
+    w_order = jnp.argsort(wkey_m, axis=1, stable=True)
+    w_sorted = jnp.take_along_axis(wkey_m, w_order, axis=1)
+    lo = jax.vmap(
+        lambda ks, qs: jnp.searchsorted(ks, qs, side="left"))(
+        w_sorted, rkeys)
+    o = jnp.arange(occ, dtype=jnp.int32)
+    idx = jnp.clip(lo[:, :, None] + o[None, None, :], 0, W - 1)
+    key_at = jnp.take_along_axis(
+        w_sorted, idx.reshape(N, L * occ), axis=1).reshape(N, L, occ)
+    wpos = jnp.take_along_axis(
+        w_order, idx.reshape(N, L * occ), axis=1
+    ).reshape(N, L, occ).astype(jnp.int32)
+    v = (rvalid[:, :, None] & (key_at == rkeys[:, :, None])
+         & (key_at != jnp.uint32(0xFFFFFFFF)))
+    q = jax.lax.broadcasted_iota(jnp.int32, (N, L, occ), 1)
+    return wpos - q, v

@@ -109,30 +109,39 @@ def stitch_segments(
     merged: List[Alignment] = []
     for a in shifted:
         ok = False
-        if merged:
-            m = merged[-1]
+        # try every open piece (newest first): a spurious interleaved hit
+        # must not break the collinear chain
+        for mi in range(len(merged) - 1, -1, -1):
+            m = merged[mi]
             q_overlap = qo_end(m) - qo(a)
-            if (m.strand == a.strand and m.tindex == a.tindex
+            if not (m.strand == a.strand and m.tindex == a.tindex
                     and 0 <= q_overlap <= OVERLAP + 64):
-                trimmed = trim_cigar_query_start(a.cigar or [], q_overlap)
-                if trimmed is not None:
-                    new_cigar, _, t_rm, (m_rm, i_rm) = trimmed
-                    t_gap = (a.tstart + t_rm) - m.tend
-                    if 0 <= t_gap <= 400:
-                        gap_cigar = [("D", t_gap)] if t_gap else []
-                        merged[-1] = dataclasses.replace(
-                            m,
-                            qstart=min(m.qstart, a.qstart),
-                            qend=max(m.qend, a.qend),
-                            tend=a.tend,
-                            score=m.score + a.score + 5 * m_rm,
-                            n_match=m.n_match + max(a.n_match - m_rm, 0),
-                            n_mismatch=m.n_mismatch + a.n_mismatch,
-                            n_ins=m.n_ins + max(a.n_ins - i_rm, 0),
-                            n_del=m.n_del + a.n_del + t_gap,
-                            cigar=(m.cigar or []) + gap_cigar + new_cigar,
-                        )
-                        ok = True
+                continue
+            trimmed = trim_cigar_query_start(a.cigar or [], q_overlap)
+            if trimmed is None:
+                continue
+            new_cigar, _, t_rm, (m_rm, i_rm) = trimmed
+            t_gap = (a.tstart + t_rm) - m.tend
+            if 0 <= t_gap <= 400:
+                gap_cigar = [("D", t_gap)] if t_gap else []
+                # the trimmed overlap columns were matches in the earlier
+                # piece: compensate with the matrix's match score
+                match_score = -params.score_matrix[0][0] \
+                    if params.score_matrix else 5
+                merged[mi] = dataclasses.replace(
+                    m,
+                    qstart=min(m.qstart, a.qstart),
+                    qend=max(m.qend, a.qend),
+                    tend=a.tend,
+                    score=m.score + a.score + match_score * m_rm,
+                    n_match=m.n_match + max(a.n_match - m_rm, 0),
+                    n_mismatch=m.n_mismatch + a.n_mismatch,
+                    n_ins=m.n_ins + max(a.n_ins - i_rm, 0),
+                    n_del=m.n_del + a.n_del + t_gap,
+                    cigar=(m.cigar or []) + gap_cigar + new_cigar,
+                )
+                ok = True
+                break
         if not ok:
             merged.append(a)
     merged.sort(key=lambda x: x.score)

@@ -21,7 +21,7 @@ import numpy as np
 
 from blasr_tpu.index.genome import GenomeIndex
 from blasr_tpu.io.fasta import FastaRecord
-from blasr_tpu.kernels.anchor import find_anchors
+from blasr_tpu.kernels.anchor import find_anchors, read_kmer_keys
 from blasr_tpu.kernels.banded import banded_align, banded_traceback
 from blasr_tpu.kernels.chain import chain_anchors, chain_members
 from blasr_tpu.params import MappingParams, ShapeConfig
@@ -138,37 +138,74 @@ def _revcomp_batch(reads: jnp.ndarray, read_len: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ok, comp[gathered], jnp.int8(4))
 
 
-def _band_offsets(mq, mt, ws, L, W, w_b):
+def _band_offsets(mq, mt, ws, L, W, w_b,
+                  frag_diag=None, frag_valid=None, between_only=False):
     """Band start per query row from the chain guide path (window coords),
     batched over items.  mq/mt: int32 [N, MC] chain anchors, q-ascending,
     invalid entries mq == BIG32.  The TPU stand-in for the reference's SDP
-    guide path (GuidedAlign block following, BlasrUtilsImpl.hpp:705-732).
+    guide path (between-anchor SDPAlign + GuidedAlign block following,
+    iblasr/BlasrAlignImpl.hpp:785-1004, BlasrUtilsImpl.hpp:705-732).
 
     Formulation: each anchor contributes a diagonal (t - q in window
-    coords); the guide holds the most recent anchor's diagonal
-    (diagonal-hold between anchors; the slope limiter smooths catch-up
-    jumps and the band absorbs the residual).  (row, diagonal) pairs are
-    packed into one int32 so a single scatter-max + cummax forward-fills
-    the path — no per-row binary searches.
+    coords); between anchors the guide *interpolates* linearly between
+    the flanking diagonals, so drift across anchor deserts is tracked
+    instead of held.  (row, diagonal) pairs are packed into one int32 so
+    a scatter-max + cummax/cummin pair forward/backward-fills the
+    flanking anchors — no per-row binary searches.
+
+    frag_diag/frag_valid ([N, L, occ], from
+    kernels.sdp.window_fragment_diags) densify the path with SDP k-mer
+    fragments, gated by the flanking chain-anchor diagonal range (+- one
+    band) so repeat-induced stray matches cannot drag the guide.  With
+    ``between_only`` (--refineBetweenAnchorsOnly) fragments outside the
+    chain's anchor span are ignored.
     """
     N, MC = mq.shape
+    assert L <= 1 << 16, (
+        "band-offset packing supports buckets up to 65536 query rows")
     DBITS = 15
     DBIAS = 1 << (DBITS - 1)
+    DMASK = 2 * DBIAS - 1
+    SENT = jnp.int32(0x7FFFFFFF)
     valid = mq < BIG32
     tw = mt - ws[:, None]                        # window coords
-    diag = jnp.clip(tw - mq, -DBIAS + 1, DBIAS - 1)
+    diag = jnp.clip(tw - mq, -DBIAS + 1, DBIAS - 2)
     packed = jnp.where(valid, (mq << DBITS) | (diag + DBIAS), -1)
     rows = jnp.clip(jnp.where(valid, mq, L - 1), 0, L - 1)
     arr = jnp.full((N, L), -1, jnp.int32)
     arr = arr.at[jnp.arange(N, dtype=jnp.int32)[:, None], rows].max(packed)
-    ff = jax.lax.cummax(arr, axis=1)
-    diag_ff = (ff & (2 * DBIAS - 1)) - DBIAS
-    # before the first anchor: hold the first anchor's diagonal
-    diag0 = jnp.where(valid[:, 0],
-                      jnp.clip(tw[:, 0] - mq[:, 0], -DBIAS + 1, DBIAS - 1),
-                      0)
-    r = jnp.arange(L, dtype=jnp.int32)
-    center = r[None, :] + jnp.where(ff >= 0, diag_ff, diag0[:, None])
+
+    def fills(a):
+        ff = jax.lax.cummax(a, axis=1)           # nearest anchor at <= r
+        nx = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(a >= 0, a, SENT), 1), axis=1), 1)  # at >= r
+        return (ff >= 0, ff >> DBITS, (ff & DMASK) - DBIAS,
+                nx < SENT, nx >> DBITS, (nx & DMASK) - DBIAS)
+
+    p_ok, pq, pd, n_ok, nq, nd = fills(arr)
+    r = jnp.arange(L, dtype=jnp.int32)[None, :]
+    if frag_diag is not None:
+        lo_d = jnp.where(p_ok & n_ok, jnp.minimum(pd, nd),
+                         jnp.where(p_ok, pd, nd))
+        hi_d = jnp.where(p_ok & n_ok, jnp.maximum(pd, nd),
+                         jnp.where(p_ok, pd, nd))
+        has_flank = (p_ok & n_ok) if between_only else (p_ok | n_ok)
+        fd = jnp.clip(frag_diag, -DBIAS + 1, DBIAS - 2)
+        ok = (frag_valid & has_flank[:, :, None]
+              & (fd >= (lo_d - w_b)[:, :, None])
+              & (fd <= (hi_d + w_b)[:, :, None]))
+        fpacked = jnp.max(
+            jnp.where(ok, (r[:, :, None] << DBITS) | (fd + DBIAS), -1),
+            axis=2)
+        # chain anchors keep priority at their own rows
+        arr = jnp.where(arr >= 0, arr, fpacked)
+        p_ok, pq, pd, n_ok, nq, nd = fills(arr)
+    both = p_ok & n_ok
+    denom = jnp.maximum(nq - pq, 1)
+    d_interp = pd + (r - pq) * (nd - pd) // denom
+    d = jnp.where(both, d_interp,
+                  jnp.where(p_ok, pd, jnp.where(n_ok, nd, 0)))
+    center = r + d
     off = jnp.clip(center - w_b // 2, 0, W - w_b)
     # monotone nondecreasing, slope-limited to {0, 1, 2} per row (the
     # Pallas kernel's 3-way-select contract; local indel bursts beyond
@@ -177,7 +214,7 @@ def _band_offsets(mq, mt, ws, L, W, w_b):
     # closed form smax*r + cummin(o - smax*r) (exact ints)
     off = jax.lax.cummax(off, axis=1)
     smax = 2
-    off = smax * r[None, :] + jax.lax.cummin(off - smax * r[None, :], axis=1)
+    off = smax * r + jax.lax.cummin(off - smax * r, axis=1)
     return off
 
 
@@ -187,7 +224,7 @@ def _band_offsets(mq, mt, ws, L, W, w_b):
                      "max_chain", "min_match", "max_anchors_per_pos",
                      "max_lcp", "indel_rate", "C_dp", "use_pallas",
                      "p_value_type", "lookback", "aggressive_cut",
-                     "advance_exact"),
+                     "advance_exact", "k_sdp", "sdp_occ", "between_only"),
 )
 def map_batch(
     index: DeviceIndex,
@@ -199,12 +236,18 @@ def map_batch(
     #                            the LookupAnchorDistribution analog)
     min_interval_weight=0.0,   # float: min summed anchor bases per
     #                            candidate (reference minInterval weight)
+    sdp_bypass=1e6,            # float: sdpBypassThreshold — candidates
+    #                            whose chain interval covers >= this
+    #                            fraction of the read skip SDP guide
+    #                            densification (anchors alone suffice,
+    #                            BlasrAlignImpl.hpp:780,992-1004)
     *,
     cfg_k: int, L: int, W: int, w_b: int, C: int, A: int, O: int, E: int,
     T: int, max_chain: int, min_match: int, max_anchors_per_pos: int,
     max_lcp: int, indel_rate: float, C_dp: int = 0, use_pallas: bool = False,
     p_value_type: int = 3, lookback: int = 0, aggressive_cut: bool = False,
-    advance_exact: int = 0,
+    advance_exact: int = 0, k_sdp: int = 0, sdp_occ: int = 2,
+    between_only: bool = False,
 ) -> PackedBatch:
     B = reads.shape[0]
     G = index.genome.shape[0]
@@ -323,10 +366,31 @@ def map_batch(
     qa = qa0 - head
     qb = jnp.maximum(jnp.minimum(qb0 + tail, rlen_sel), qa + 1)
 
+    # SDP guide densification (the reference always SDP-aligns candidate
+    # intervals unless the bypass fires, BlasrAlignImpl.hpp:780-1004):
+    # k-mer fragments between each read and its window densify the band
+    # path through anchor deserts
+    if k_sdp > 0:
+        from blasr_tpu.kernels.sdp import window_fragment_diags
+        rk2, rv2 = read_kmer_keys(reads2, rlen2, k_sdp)
+        rkeys_sel = jnp.take(rk2, read_row, axis=0)
+        rvalid_sel = jnp.take(rv2, read_row, axis=0)
+        wlen_full = jnp.full((windows.shape[0],), W, jnp.int32)
+        frag_diag, frag_ok = window_fragment_diags(
+            rkeys_sel, rvalid_sel, windows, wlen_full,
+            k=k_sdp, occ=sdp_occ)
+        # sdpBypassThreshold: anchors-as-guide fast path for candidates
+        # whose chain interval already covers enough of the read
+        ratio = ((pick(cands.t_end) - ts0).astype(jnp.float32)
+                 / jnp.maximum(rlen_sel, 1).astype(jnp.float32))
+        frag_ok = frag_ok & (ratio < jnp.float32(sdp_bypass))[:, None, None]
+    else:
+        frag_diag = frag_ok = None
+
     mcw = mq.shape[-1]
     offs = _band_offsets(
         pick(mq.reshape(n2, C, mcw)), pick(mt.reshape(n2, C, mcw)),
-        ws, L, W, w_b)
+        ws, L, W, w_b, frag_diag, frag_ok, between_only)
 
     if use_pallas:
         from blasr_tpu.kernels.pallas_banded import pallas_banded_align
@@ -596,6 +660,7 @@ class Mapper:
                     self.dev, jnp.asarray(arr), jnp.asarray(lens),
                     self.submat, self.gap_costs, np.float32(sig),
                     np.float32(p.min_interval_weight),
+                    np.float32(p.sdp_bypass_threshold),
                     cfg_k=self.gi.k, L=L, W=W, w_b=cfg.band_width,
                     C=cfg.n_candidates, A=cfg.max_anchors, O=cfg.occ_per_pos,
                     E=cfg.anchor_ext, T=T, max_chain=cfg.max_anchors,
@@ -606,7 +671,10 @@ class Mapper:
                     p_value_type=p.p_value_type,
                     lookback=self._chain_lookback(),
                     aggressive_cut=p.aggressive_interval_cut,
-                    advance_exact=p.advance_exact_matches)
+                    advance_exact=p.advance_exact_matches,
+                    k_sdp=min(p.sdp_tuple_size, 16),
+                    sdp_occ=1 if p.fast_sdp else 2,
+                    between_only=p.refine_between_anchors_only)
             pending.append((group, lens, res))
         # phase 2: collect (transfers overlap with later batches' compute)
         for group, lens, res in pending:

@@ -11,10 +11,15 @@ can't absorb them, so the chain produces two candidates).  ``join_one_gap``
 merges such a pair into one alignment whose CIGAR carries a single 'N'
 (skip) run — the alignment the reference's OneGapAlignment would have
 produced, priced as one gap event instead of per-base deletions.
+
+The merge runs in *oriented* coordinates (strand-local query positions
+ascend with target positions on both strands, matching stored CIGAR
+order), so forward and reverse pairs join alike.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List
 
 from blasr_tpu.pipeline.map_read import Alignment
@@ -22,16 +27,12 @@ from blasr_tpu.pipeline.map_read import Alignment
 MAX_ONE_GAP = 100_000
 
 
-def _trim_query_start(a: Alignment, n: int):
-    """Drop the first n query-consuming columns (must be plain matches)."""
-    if not a.cigar or a.cigar[0][0] not in "M=" or a.cigar[0][1] <= n:
-        return None
-    import dataclasses
-    op, cnt = a.cigar[0]
-    return dataclasses.replace(
-        a, qstart=a.qstart + n, tstart=a.tstart + n,
-        n_match=a.n_match - n, score=a.score + 5 * n,
-        cigar=[(op, cnt - n)] + a.cigar[1:])
+def _match_score(params) -> int:
+    """Per-column score of a trimmed match (the matrix's match entry,
+    not a literal: --scoreMatrix changes it)."""
+    if getattr(params, "score_matrix", None):
+        return -params.score_matrix[0][0]
+    return 5
 
 
 def join_one_gap(alns: List[Alignment], params) -> List[Alignment]:
@@ -39,7 +40,14 @@ def join_one_gap(alns: List[Alignment], params) -> List[Alignment]:
     separated by a large target gap and a small query gap."""
     if len(alns) < 2:
         return alns
-    alns = sorted(alns, key=lambda a: (a.strand, a.tindex, a.qstart))
+
+    def qo(a):
+        return a.qstart if a.strand == 0 else a.qlen - a.qend
+
+    def qo_end(a):
+        return a.qend if a.strand == 0 else a.qlen - a.qstart
+
+    alns = sorted(alns, key=lambda a: (a.strand, a.tindex, qo(a), a.tstart))
     out: List[Alignment] = []
     used = [False] * len(alns)
     for i, a in enumerate(alns):
@@ -52,17 +60,13 @@ def join_one_gap(alns: List[Alignment], params) -> List[Alignment]:
                 continue
             if (b.strand != merged.strand or b.tindex != merged.tindex):
                 continue
-            q_gap = b.qstart - merged.qend
+            q_gap = qo(b) - qo_end(merged)
             # one-gap criterion: query nearly contiguous (overlaps from the
             # span widening are trimmed as long as they stay a minority of
             # the shorter piece — larger overlaps mean alternative
             # placements of the same region, not a spliced continuation)
             shorter = min(merged.qend - merged.qstart, b.qend - b.qstart)
             if not (-256 <= q_gap <= 50 and -q_gap < 0.5 * shorter):
-                continue
-            if merged.strand == 1:
-                # strand-local CIGAR order is reversed wrt forward-read
-                # coordinates; only join forward-strand pairs here
                 continue
             if q_gap < 0:
                 from blasr_tpu.pipeline.longread import \
@@ -71,12 +75,15 @@ def join_one_gap(alns: List[Alignment], params) -> List[Alignment]:
                 if trimmed is None:
                     continue
                 new_cigar, q_rm, t_rm, (m_rm, i_rm) = trimmed
-                import dataclasses as _dc
-                b = _dc.replace(
-                    b, qstart=b.qstart + q_rm, tstart=b.tstart + t_rm,
+                b = dataclasses.replace(
+                    b,
+                    qstart=b.qstart + q_rm if b.strand == 0 else b.qstart,
+                    qend=b.qend if b.strand == 0 else b.qend - q_rm,
+                    tstart=b.tstart + t_rm,
                     n_match=max(b.n_match - m_rm, 0),
                     n_ins=max(b.n_ins - i_rm, 0),
-                    score=b.score + 5 * m_rm, cigar=new_cigar)
+                    score=b.score + _match_score(params) * m_rm,
+                    cigar=new_cigar)
                 q_gap = 0
             t_gap = b.tstart - merged.tend
             if not (max(q_gap, 0) * 4 < t_gap <= MAX_ONE_GAP):
@@ -87,7 +94,8 @@ def join_one_gap(alns: List[Alignment], params) -> List[Alignment]:
             gap_cigar.append(("N", t_gap))
             merged = Alignment(
                 qname=merged.qname, qlen=merged.qlen,
-                qstart=merged.qstart, qend=b.qend,
+                qstart=min(merged.qstart, b.qstart),
+                qend=max(merged.qend, b.qend),
                 strand=merged.strand, tindex=merged.tindex,
                 tname=merged.tname, tlen=merged.tlen,
                 tstart=merged.tstart, tend=b.tend,

@@ -146,13 +146,18 @@ def score_alignment_ids(cigar, query, target, qa, ta, tracks: QVTracks, *,
 
 def log10_prob_alignment(cigar, query, target, qa, ta,
                          tracks: Optional[QVTracks] = None,
-                         read_accuracy_prior: float = 0.85) -> float:
+                         read_accuracy_prior: float = 0.85,
+                         substitution_prior: int = 20,
+                         global_deletion_prior: int = 13) -> float:
     """log10 P(read | template placement) over the alignment path — the
     SMRTLogProbMatrix rescore feeding StoreMapQVs' log-sum-exp
     (BlasrUtilsImpl.hpp:117-130,236-304).
 
-    With QVs: per-base error probabilities from the track.  Without:
-    fixed priors derived from read_accuracy_prior.
+    With QVs: per-base error probabilities from the track; missing
+    substitution/deletion tracks fall back to substitutionPrior /
+    globalDeletionPrior (the IDSScoreFunction contract,
+    BlasrUtilsImpl.hpp:125-130).  Without any QVs: fixed priors derived
+    from read_accuracy_prior.
     """
     opc, qidx, tidx = expand_cigar(cigar, qa, ta)
     if len(opc) == 0:
@@ -174,9 +179,16 @@ def log10_prob_alignment(cigar, query, target, qa, ta,
     sub_pe = perr(tracks.sub_qv if tracks is not None else None)
     ins_pe = perr(tracks.ins_qv if tracks is not None else None)
     del_pe = perr(tracks.del_qv if tracks is not None else None)
-    mis_pe = sub_pe if sub_pe is not None else base_pe
+    quality_mode = qv_pe is not None
+
+    def prior_pe(prior_phred):
+        return np.full(len(opc), 10.0 ** (-prior_phred / 10.0))
+
+    mis_pe = sub_pe if sub_pe is not None else (
+        prior_pe(substitution_prior) if quality_mode else base_pe)
     i_pe = ins_pe if ins_pe is not None else base_pe
-    d_pe = del_pe if del_pe is not None else base_pe
+    d_pe = del_pe if del_pe is not None else (
+        prior_pe(global_deletion_prior) if quality_mode else base_pe)
     lm = np.log10(np.maximum(1.0 - base_pe, 1e-10))
     lx = np.log10(mis_pe / 3.0)
     li = np.log10(i_pe / 2.0)

@@ -88,7 +88,9 @@ def _log10_likelihood(a: Alignment, params: MappingParams, gi) -> float:
                       del_qv=orient(t.get("DeletionQV")),
                       sub_qv=orient(t.get("SubstitutionQV")))
     return log10_prob_alignment(a.cigar, oread, gi.genome[gs:ge], qa, 0,
-                                tracks, params.read_accuracy_prior)
+                                tracks, params.read_accuracy_prior,
+                                params.substitution_prior,
+                                params.global_deletion_prior)
 
 
 def _sum_mismatches(a: Alignment, full_start: int, full_end: int,
@@ -294,6 +296,8 @@ def select_alignments(
     if not alns:
         return []
     alns = alns[: params.n_best]
+    if params.print_only_best:  # --printOnlyBest (RegisterBlasrOptions.h:38)
+        alns = alns[:1]
     policy = params.hit_policy
     if policy == "all":
         return alns

@@ -127,6 +127,13 @@ def test_bam_qv_tracks_thread_to_rescoring(tmp_path):
     tgt = seq.copy()
     tgt[5] = (tgt[5] + 1) % 4
     lp_ids = log10_prob_alignment([("M", 60)], seq, tgt, 0, 0, t)
+    # without a subQV track, quality mode falls back to substitutionPrior
+    # (IDSScoreFunction contract) — use a non-default prior to observe it
     lp_plain = log10_prob_alignment([("M", 60)], seq, tgt, 0, 0,
-                                    QVTracks(qual=reads[0].qual))
-    assert lp_ids != lp_plain  # subQV (20) prices the mismatch vs qual (25)
+                                    QVTracks(qual=reads[0].qual),
+                                    substitution_prior=30)
+    assert lp_ids != lp_plain  # subQV (20) prices the mismatch vs prior 30
+    lp_prior20 = log10_prob_alignment([("M", 60)], seq, tgt, 0, 0,
+                                      QVTracks(qual=reads[0].qual),
+                                      substitution_prior=20)
+    assert lp_prior20 == lp_ids  # prior 20 == track value 20

@@ -147,3 +147,64 @@ def test_scale_mapqv_zero_clusters_zeroes():
     b = mk(-500, map_qv=254, n_significant_clusters=5)
     scale_mapqv_by_cluster_size(b, p)  # 5 <= nCandidates(10): unchanged
     assert b.map_qv == 254
+
+
+def test_print_sam_qv_tags():
+    """--printSAMQV emits the PacBio QV tags (iq/dq/sq/mq/dt/st),
+    oriented and clipped with the record."""
+    import io as _io
+    from blasr_tpu.io import formats
+    n = 100
+    tracks = {
+        "InsertionQV": np.arange(n) % 40,
+        "DeletionQV": np.full(n, 7),
+        "DeletionTag": np.full(n, ord("A")),
+    }
+    a = mk(-400, qstart=10, qend=90, tracks=tracks,
+           read=np.zeros(100, np.int8))
+    p = MappingParams(print_sam_qv=True, clipping="soft").make_sane()
+    buf = _io.StringIO()
+    formats.write_sam(buf, a, p)
+    line = buf.getvalue()
+    assert "iq:Z:" in line and "dq:Z:" in line and "dt:Z:" in line
+    dq = [f for f in line.split("\t") if f.startswith("dq:Z:")][0][5:]
+    assert dq == chr(7 + 33) * n
+    # reverse strand: tag bases complemented
+    b = mk(-400, qstart=10, qend=90, strand=1, tracks=tracks,
+           read=np.zeros(100, np.int8))
+    buf2 = _io.StringIO()
+    formats.write_sam(buf2, b, p)
+    dt = [f for f in buf2.getvalue().split("\t")
+          if f.startswith("dt:Z:")][0][5:].strip()
+    assert dt == "T" * n
+    # off by default
+    buf3 = _io.StringIO()
+    formats.write_sam(buf3, a, MappingParams(clipping="soft").make_sane())
+    assert "iq:Z:" not in buf3.getvalue()
+
+
+def test_no_store_mapqv_and_print_only_best(tmp_path):
+    from blasr_tpu.cli.blasr import run
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.sim import random_genome
+    contigs = random_genome(30_000, seed=55)
+    g = contigs[0].seq.copy()
+    g[20000:21500] = g[5000:6500]  # two-copy repeat
+    from blasr_tpu.io.fasta import FastaRecord
+    contigs = [FastaRecord("contig0", g)]
+    write_fasta(tmp_path / "g.fa", contigs)
+    write_fasta(tmp_path / "r.fa",
+                [FastaRecord("rep/1/0_1300", g[5100:6400].copy())])
+    args = [str(tmp_path / "r.fa"), str(tmp_path / "g.fa"), "-m", "4"]
+    out1 = tmp_path / "a.m4"
+    assert run(args + ["--out", str(out1)]) == 0
+    lines = open(out1).read().splitlines()
+    assert len(lines) >= 2                      # both copies reported
+    assert all(int(l.split()[-1]) < 254 for l in lines)  # ambiguous mapQV
+    out2 = tmp_path / "b.m4"
+    assert run(args + ["--noStoreMapQV", "--out", str(out2)]) == 0
+    assert all(int(l.split()[-1]) == 254
+               for l in open(out2).read().splitlines())
+    out3 = tmp_path / "c.m4"
+    assert run(args + ["--printOnlyBest", "--out", str(out3)]) == 0
+    assert len(open(out3).read().splitlines()) == 1

@@ -48,3 +48,35 @@ def test_two_host_merge_equals_single_host(tmp_path):
     merge_outputs(str(merged), 2, [])
     assert open(merged).read() == open(single).read()
     assert not os.path.exists(shard_path(str(merged), 0, 2))
+
+
+def test_run_sharded_merges_automatically(tmp_path, monkeypatch):
+    """run_sharded: host 0 merges the per-host parts after the sentinel
+    barrier — no manual merge_outputs call needed."""
+    from blasr_tpu.dist.multihost import run_sharded
+    contigs = random_genome(50_000, seed=93)
+    sims = simulate_reads(contigs, 8, read_len=(200, 500), accuracy=0.9,
+                          seed=94)
+    write_fasta(tmp_path / "g.fa", contigs)
+    write_fasta(tmp_path / "r.fa", [s.rec for s in sims])
+    from blasr_tpu.cli.blasr import run
+    single = tmp_path / "single.m4"
+    args1 = [str(tmp_path / "r.fa"), str(tmp_path / "g.fa"), "-m", "4",
+             "--out", str(single)]
+    monkeypatch.setenv("BLASR_TPU_NUM_HOSTS", "1")
+    monkeypatch.setenv("BLASR_TPU_HOST_ID", "0")
+    assert run(args1) == 0
+
+    merged = tmp_path / "merged.m4"
+    args2 = [str(tmp_path / "r.fa"), str(tmp_path / "g.fa"), "-m", "4",
+             "--out", str(merged)]
+    monkeypatch.setenv("BLASR_TPU_NUM_HOSTS", "2")
+    # host 1 first (writes its part + sentinel), then host 0 merges
+    monkeypatch.setenv("BLASR_TPU_HOST_ID", "1")
+    assert run_sharded(list(args2)) == 0
+    monkeypatch.setenv("BLASR_TPU_HOST_ID", "0")
+    assert run_sharded(list(args2), barrier_timeout=30) == 0
+    assert merged.exists()
+    assert merged.read_text() == single.read_text()
+    # parts and sentinels cleaned up
+    assert not list(tmp_path.glob("merged.m4.host*"))

@@ -60,3 +60,37 @@ def test_cli_onegap_spliced_read(tmp_path):
     assert joined, recs
     cig = joined[0].split("\t")[5]
     assert "4000N" in cig
+
+
+def test_join_reverse_strand_pair():
+    """RC pairs join too (oriented-coordinate merge): a reverse-strand
+    spliced hit produces one alignment with an 'N' run."""
+    p = MappingParams().make_sane()
+    # oriented query: piece at larger t has larger oriented q
+    # strand 1: qo = qlen - qend, so the t-early piece must have high qend
+    a = mk(200, 400, 1000, 1200, strand=1)   # qo = 0..200
+    b = mk(0, 200, 6200, 6400, strand=1)     # qo = 200..400
+    out = join_one_gap([a, b], p)
+    assert len(out) == 1
+    j = out[0]
+    assert (j.qstart, j.qend, j.tstart, j.tend) == (0, 400, 1000, 6400)
+    ops = dict((op, n) for op, n in j.cigar)
+    assert ops["N"] == 5000
+
+
+def test_cli_onegap_spliced_read_rc(tmp_path):
+    from blasr_tpu.cli.blasr import run
+    from blasr_tpu.io.fasta import revcomp
+    contigs = random_genome(60_000, seed=202)
+    g = contigs[0].seq
+    read = revcomp(np.concatenate([g[10_000:10_300], g[14_300:14_600]]))
+    write_fasta(tmp_path / "g.fa", contigs)
+    write_fasta(tmp_path / "r.fa", [FastaRecord("splicedrc/1/0_600", read)])
+    out = tmp_path / "out.sam"
+    assert run([str(tmp_path / "r.fa"), str(tmp_path / "g.fa"), "--sam",
+                "--onegap", "--bestn", "2", "--hitPolicy", "all",
+                "--out", str(out)]) == 0
+    recs = [l for l in open(out) if not l.startswith("@")]
+    joined = [l for l in recs if "N" in l.split("\t")[5]]
+    assert joined, recs
+    assert "4000N" in joined[0].split("\t")[5]
