@@ -37,6 +37,11 @@ class Anchors(NamedTuple):
     nlogp: jnp.ndarray   # float32 [B, A] -log P(anchor by chance): the
     #                      tuple-frequency significance weight
     #                      (LISPValueWeightor family, BlasrHeaders.h:54-57)
+    # raw per-position hits before top-A selection / containment pruning:
+    # the free SDP-fragment set reused by the band-guide densification
+    # (position i, occurrence o) -> genome position hits_t[b, i, o]
+    hits_t: jnp.ndarray = None      # int32 [B, L, O]
+    hits_valid: jnp.ndarray = None  # bool [B, L, O]
 
 
 def read_kmer_keys(reads: jnp.ndarray, read_len: jnp.ndarray, k: int):
@@ -230,4 +235,7 @@ def find_anchors(
         valid=jnp.take_along_axis(sel_v, order2, axis=1),
         n_total=n_total,
         nlogp=jnp.take_along_axis(sel_p, order2, axis=1),
+        hits_t=t,
+        hits_valid=pos_ok[:, :, None] & (occ[None, None, :] < nocc[:, :, None])
+        & (length >= min_match),
     )

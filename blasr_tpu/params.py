@@ -227,6 +227,10 @@ class ShapeConfig:
     #                               (tuned on the bench workload: same
     #                               placement accuracy as 36/4, ~12% faster)
     band_width: int = 128         # banded-DP band (lane-aligned)
+    guide_anchors: int = 96       # chain members walked per candidate for
+    #                               the band guide; the SDP hit fragments
+    #                               provide the dense path, so the chain
+    #                               walk only supplies flanking anchors
     n_candidates: int = 10        # candidate intervals refined per read
     dp_cands: int = 0             # candidates per read that get banded DP;
     #                               0 = all (reference semantics: every

@@ -290,6 +290,13 @@ def map_batch(
     cluster_stats = jnp.stack(
         [cands_all.score.astype(jnp.int32),
          cands_all.valid.astype(jnp.int32)], axis=-1)
+    # zero invalid candidates' spans so their DP rows degenerate to a
+    # 1-cell alignment and the kernel's early exit skips them
+    cands_all = cands_all._replace(
+        q_start=jnp.where(cands_all.valid, cands_all.q_start, 0),
+        q_end=jnp.where(cands_all.valid, cands_all.q_end, 0),
+        t_start=jnp.where(cands_all.valid, cands_all.t_start, 0),
+        t_end=jnp.where(cands_all.valid, cands_all.t_end, 0))
     cands = cands_all._replace(
         q_start=cands_all.q_start[:, :C], q_end=cands_all.q_end[:, :C],
         t_start=cands_all.t_start[:, :C], t_end=cands_all.t_end[:, :C],
@@ -336,8 +343,9 @@ def map_batch(
     rlen_sel = jnp.take(rlen2, read_row)
     qa0 = pick(cands.q_start)
     qb0 = jnp.maximum(pick(cands.q_end), qa0 + 1)
-    head = jnp.minimum(qa0, margin)
-    tail = jnp.clip(rlen_sel - qb0, 0, margin)
+    vsel_i = sel_valid.astype(jnp.int32)   # no widening for invalid slots
+    head = jnp.minimum(qa0, margin) * vsel_i
+    tail = jnp.clip(rlen_sel - qb0, 0, margin) * vsel_i
     ts0 = pick(cands.t_start)
     ts = jnp.maximum(ts0 - head, 0)
     te = pick(cands.t_end) + tail
@@ -367,30 +375,53 @@ def map_batch(
     qb = jnp.maximum(jnp.minimum(qb0 + tail, rlen_sel), qa + 1)
 
     # SDP guide densification (the reference always SDP-aligns candidate
-    # intervals unless the bypass fires, BlasrAlignImpl.hpp:780-1004):
-    # k-mer fragments between each read and its window densify the band
-    # path through anchor deserts
-    if k_sdp > 0:
-        from blasr_tpu.kernels.sdp import window_fragment_diags
-        rk2, rv2 = read_kmer_keys(reads2, rlen2, k_sdp)
-        rkeys_sel = jnp.take(rk2, read_row, axis=0)
-        rvalid_sel = jnp.take(rv2, read_row, axis=0)
-        wlen_full = jnp.full((windows.shape[0],), W, jnp.int32)
-        frag_diag, frag_ok = window_fragment_diags(
-            rkeys_sel, rvalid_sel, windows, wlen_full,
-            k=k_sdp, occ=sdp_occ)
-        # sdpBypassThreshold: anchors-as-guide fast path for candidates
-        # whose chain interval already covers enough of the read
-        ratio = ((pick(cands.t_end) - ts0).astype(jnp.float32)
-                 / jnp.maximum(rlen_sel, 1).astype(jnp.float32))
-        frag_ok = frag_ok & (ratio < jnp.float32(sdp_bypass))[:, None, None]
-    else:
-        frag_diag = frag_ok = None
+    # intervals unless the bypass fires, BlasrAlignImpl.hpp:780-1004).
+    # Default: the anchor stage's raw per-position hits double as the SDP
+    # fragment set — they are already computed, so the dense guide is
+    # free.  A dedicated window-level k-mer pass (below) only runs when
+    # the caller asks for tuples shorter than the index seed.
+    q3 = jax.lax.broadcasted_iota(jnp.int32, (n_dp, L, O), 1)
+    ht = jnp.take(anchors.hits_t, read_row, axis=0)          # [N_dp, L, O]
+    hv = jnp.take(anchors.hits_valid, read_row, axis=0)
+    frag_diag = ht - ws[:, None, None] - q3
+    # sdpBypassThreshold: anchors-as-guide fast path for candidates whose
+    # chain interval already covers enough of the read
+    ratio = ((pick(cands.t_end) - ts0).astype(jnp.float32)
+             / jnp.maximum(rlen_sel, 1).astype(jnp.float32))
+    no_bypass = ratio < jnp.float32(sdp_bypass)
+    frag_ok = (hv & (ht >= ws[:, None, None]) & (ht < (ws + W)[:, None, None])
+               & no_bypass[:, None, None])
 
     mcw = mq.shape[-1]
-    offs = _band_offsets(
-        pick(mq.reshape(n2, C, mcw)), pick(mt.reshape(n2, C, mcw)),
-        ws, L, W, w_b, frag_diag, frag_ok, between_only)
+    mqs = pick(mq.reshape(n2, C, mcw))
+    mts = pick(mt.reshape(n2, C, mcw))
+    offs = _band_offsets(mqs, mts, ws, L, W, w_b,
+                         frag_diag, frag_ok, between_only)
+    if k_sdp > 0:
+        # short-tuple window pass (sdpTupleSize below the index seed
+        # size), on the top-2 chain-ranked candidates per strand-row —
+        # window k-mer sorting is too expensive to run for every slot
+        from blasr_tpu.kernels.sdp import window_fragment_diags
+        n_sdp = min(2 * n2, n_dp)
+        gmask = (sel % C) < 2
+        srows = jnp.argsort(jnp.where(gmask, 0, 1),
+                            stable=True)[:n_sdp].astype(jnp.int32)
+
+        def sub(x):
+            return jnp.take(x, srows, axis=0)
+
+        rk2, rv2 = read_kmer_keys(reads2, rlen2, k_sdp)
+        rr = jnp.take(read_row, srows)
+        wfd, wfo = window_fragment_diags(
+            jnp.take(rk2, rr, axis=0), jnp.take(rv2, rr, axis=0),
+            sub(windows), jnp.full((n_sdp,), W, jnp.int32),
+            k=k_sdp, occ=sdp_occ)
+        fd2 = jnp.concatenate([sub(frag_diag), wfd], axis=2)
+        fo2 = jnp.concatenate(
+            [sub(frag_ok), wfo & sub(no_bypass)[:, None, None]], axis=2)
+        offs_sub = _band_offsets(sub(mqs), sub(mts), sub(ws), L, W, w_b,
+                                 fd2, fo2, between_only)
+        offs = offs.at[srows].set(offs_sub)
 
     if use_pallas:
         from blasr_tpu.kernels.pallas_banded import pallas_banded_align
@@ -401,9 +432,41 @@ def map_batch(
         res = banded_align(
             reads_sel, windows, offs, qa, qb, ta, tb, submat,
             gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3], w_b=w_b)
-    tbk = banded_traceback(res, offs, qa, qb, ta, tb, t_max=T, w_b=w_b)
-
     valid_sel = sel_valid & res.valid
+
+    # traceback compaction: only the top nCandidates alignments per READ
+    # (both strands, ranked by DP score with deterministic ties) get a
+    # traceback — the reference caps reportable intervals per read at
+    # nCandidates, and untraced rows are beyond it.  Halves the
+    # sequential traceback scan and the ops transfer.
+    n_tb = min(B * C, n_dp)
+    read_of = read_row % B
+    sc_key = jnp.where(valid_sel, res.score.astype(jnp.int32), BIG32)
+    ii = jnp.arange(n_dp, dtype=jnp.int32)
+    same_read = read_of[:, None] == read_of[None, :]
+    better = ((sc_key[None, :] < sc_key[:, None])
+              | ((sc_key[None, :] == sc_key[:, None])
+                 & (ii[None, :] < ii[:, None])))
+    tb_rank = jnp.sum(same_read & better, axis=1)
+    keep_tb = valid_sel & (tb_rank < C)
+    tb_rows = jnp.argsort(jnp.where(keep_tb, 0, 1),
+                          stable=True)[:n_tb].astype(jnp.int32)
+
+    def sub_tb(x):
+        return jnp.take(x, tb_rows, axis=0)
+
+    res_sub = type(res)(score=sub_tb(res.score), tbbits=sub_tb(res.tbbits),
+                        final_state=sub_tb(res.final_state),
+                        valid=sub_tb(res.valid))
+    tbk = banded_traceback(res_sub, sub_tb(offs), sub_tb(qa), sub_tb(qb),
+                           sub_tb(ta), sub_tb(tb), t_max=T, w_b=w_b)
+
+    def back(v):
+        return jnp.zeros((n_dp,), v.dtype).at[tb_rows].set(v)
+
+    slot_of_dp = jnp.full((n_dp,), -1, jnp.int32).at[tb_rows].set(
+        jnp.arange(n_tb, dtype=jnp.int32))
+    slot_of_dp = jnp.where(keep_tb, slot_of_dp, -1)
 
     # pack ops to 2 bits (M/I/D/stop; mismatch folds into M — the host
     # re-derives =/X from sequences when needed): 4x smaller transfer
@@ -417,7 +480,7 @@ def map_batch(
         return buf.at[sel].set(vals).reshape(n2, C, *vals.shape[1:])
 
     dp_slot = jnp.full((n2 * C,), -1, jnp.int32).at[sel].set(
-        jnp.arange(n_dp, dtype=jnp.int32)).reshape(n2, C)
+        slot_of_dp).reshape(n2, C)
     # pack everything the host needs into two contiguous arrays: each
     # device->host array is a separate round trip (expensive on remote
     # attachments), so one int32 block + the uint8 ops block beat ~15
@@ -428,10 +491,10 @@ def map_batch(
         scatter(qb),
         scatter(ta + ws - 1),  # -1: device genome sentinel
         scatter(tb + ws - 1),
-        scatter(tbk.n_match),
-        scatter(tbk.n_mismatch),
-        scatter(tbk.n_ins),
-        scatter(tbk.n_del),
+        scatter(back(tbk.n_match)),
+        scatter(back(tbk.n_mismatch)),
+        scatter(back(tbk.n_ins)),
+        scatter(back(tbk.n_del)),
         dp_slot,
         scatter(res.score, 1e30).astype(jnp.int32),
         cands.score.reshape(n2, C).astype(jnp.int32),
@@ -663,7 +726,8 @@ class Mapper:
                     np.float32(p.sdp_bypass_threshold),
                     cfg_k=self.gi.k, L=L, W=W, w_b=cfg.band_width,
                     C=cfg.n_candidates, A=cfg.max_anchors, O=cfg.occ_per_pos,
-                    E=cfg.anchor_ext, T=T, max_chain=cfg.max_anchors,
+                    E=cfg.anchor_ext, T=T,
+                    max_chain=min(cfg.guide_anchors, cfg.max_anchors),
                     min_match=p.min_match_length,
                     max_anchors_per_pos=p.max_anchors_per_position,
                     max_lcp=p.max_match_length, indel_rate=p.indel_rate,
