@@ -296,6 +296,25 @@ def run(argv: Optional[List[str]] = None) -> int:
                          "by blasr_tpu\n")
         return 1
     params = params_from_args(args)
+    # persistent compile cache: repeat invocations with the same shapes
+    # skip the (remote) XLA compile — the biggest first-run cost
+    try:
+        import os as _os
+
+        import jax as _jax
+        _cache = _os.environ.get(
+            "BLASR_TPU_COMPILE_CACHE",
+            _os.path.expanduser("~/.cache/blasr_tpu/jax"))
+        already = getattr(_jax.config, "jax_compilation_cache_dir", None)
+        if _cache and not already:
+            _os.makedirs(_cache, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+            _jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1)
+    except (ImportError, RuntimeError, OSError):
+        pass
     log("started.")
 
     if args.sa:

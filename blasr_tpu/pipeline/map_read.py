@@ -650,8 +650,15 @@ class Mapper:
     CIGAR assembly, strand flips)."""
 
     def __init__(self, gi: GenomeIndex, params: MappingParams,
-                 cfg: Optional[ShapeConfig] = None, metrics=None, dev=None):
+                 cfg: Optional[ShapeConfig] = None, metrics=None, dev=None,
+                 rescue: Optional["Mapper"] = None):
+        # rescue: a second Mapper over a more sensitive index (e.g. k=12
+        # when this one uses the k=14 large-genome LUT); reads that end up
+        # unmapped or weakly mapped re-run through it and keep the better
+        # result.  The large-genome analog of the reference's default
+        # minMatch-12 sensitivity (iblasr/MappingParameters.h:258).
         from blasr_tpu.pipeline.metrics import MappingMetrics
+        self.rescue = rescue
         self.gi = gi
         self.params = params.make_sane()
         # --nCandidates drives the device candidate capacity when no
@@ -892,6 +899,20 @@ class Mapper:
                 results = retry._run_bucket([r for _, r in items], b, batch)
                 for (j, _), alns in zip(items, results):
                     order[j] = alns
+        if self.rescue is not None:
+            # cross-index rescue: unmapped or weak (< 72% similar) reads
+            # re-map on the sensitive index; the better score wins
+            weak = [(j, r) for j, r in kept
+                    if not order[j]
+                    or max(a.pct_similarity for a in order[j]) < 72.0]
+            if weak:
+                with self.metrics.clock("rescue"):
+                    res = self.rescue.map_reads([r for _, r in weak])
+                for (j, r), alns in zip(weak, res):
+                    if alns and (not order[j]
+                                 or min(a.score for a in alns)
+                                 < min(a.score for a in order[j])):
+                        order[j] = alns
         if p.do_sensitive_search:
             # --useSensitiveSearch (Blasr.cpp:404-414): reads that are
             # unmapped or whose best alignment is < 80% similar are re-run

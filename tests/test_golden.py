@@ -1,10 +1,15 @@
 """Cram-style golden-output regression tests.
 
 The reference's whole test strategy is golden-file diffs of real runs
-(SURVEY.md §4: ctest/*.t compare dated golden outputs exactly).  Here a
-fixed-seed synthetic workload is mapped through the real CLI and the
+(SURVEY.md §4: ctest/*.t compare dated golden outputs exactly).  Here
+fixed-seed synthetic workloads are mapped through the real CLI and the
 outputs diffed byte-for-byte against checked-in goldens
 (tests/golden/*) — the bit-identical-output contract across refactors.
+
+Coverage (the ctest contract, SURVEY.md §4): every output format m0-m5 +
+SAM; soft/hard/subread clipping; randombest determinism; affine mode;
+--bwt index input; an E. coli-scale genome; concordant subread mapping;
+a CCS-passes workload.
 
 Regenerate (only when an intentional behavior change is reviewed):
     python tests/test_golden.py regen
@@ -17,18 +22,35 @@ import numpy as np
 import pytest
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+# (name, world, extra flags); world decides reads/genome/index inputs
 CASES = [
-    ("m4", ["-m", "4"]),
-    ("m1", ["-m", "1"]),
-    ("m5", ["-m", "5"]),
-    ("sam", ["--sam", "--clipping", "soft"]),
-    ("m4.rb", ["-m", "4", "--hitPolicy", "randombest", "--randomSeed", "1"]),
-    ("m4.affine", ["-m", "4", "--affineAlign", "--affineOpen", "8",
-                   "--affineExtend", "1"]),
+    # -- small world (60 kb, 2 contigs, 12 reads): format/mode coverage --
+    ("m4", "small", ["-m", "4"]),
+    ("m1", "small", ["-m", "1"]),
+    ("m5", "small", ["-m", "5"]),
+    ("sam", "small", ["--sam", "--clipping", "soft"]),
+    ("m4.rb", "small", ["-m", "4", "--hitPolicy", "randombest",
+                        "--randomSeed", "1"]),
+    ("m4.affine", "small", ["-m", "4", "--affineAlign", "--affineOpen", "8",
+                            "--affineExtend", "1"]),
+    ("m0", "small", ["-m", "0"]),
+    ("m2", "small", ["-m", "2"]),
+    ("m3", "small", ["-m", "3"]),
+    ("sam.hard", "small", ["--sam", "--clipping", "hard"]),
+    ("sam.subread", "small", ["--sam", "--clipping", "subread"]),
+    ("m4.bwt", "small_bwt", ["-m", "4"]),
+    # -- E. coli-scale world (4.6 Mbp, 10 reads): long deletions, ends --
+    ("m4.big", "big", ["-m", "4"]),
+    ("sam.big", "big", ["--sam", "--clipping", "soft"]),
+    # -- multi-subread ZMWs: concordant mode (ctest/concordant.t role) --
+    ("m4.concordant", "zmw", ["-m", "4", "--concordant", "--bestn", "1"]),
+    # -- ccs.h5 with Passes (ctest/useccsall.t role) --
+    ("m4.ccs", "ccs", ["-m", "4", "--useccs"]),
 ]
 
 
-def make_world(d):
+def make_small(d):
     from blasr_tpu.io.fasta import FastaRecord, write_fasta
     from blasr_tpu.sim import random_genome, simulate_reads
     contigs = random_genome(60_000, seed=777, n_contigs=2)
@@ -38,46 +60,147 @@ def make_world(d):
             for i, s in enumerate(sims)]
     write_fasta(os.path.join(d, "genome.fa"), contigs)
     write_fasta(os.path.join(d, "reads.fa"), recs)
+    return os.path.join(d, "reads.fa"), os.path.join(d, "genome.fa"), []
 
 
-def run_case(d, name, flags):
+def make_small_bwt(d):
+    """--bwt input: sawriter -> sa2bwt artifacts over the small genome."""
+    reads, genome, _ = make_small(d)
+    from blasr_tpu.cli.sa2bwt import run as sa2bwt_run
+    from blasr_tpu.cli.sawriter import run as sawriter_run
+    sa = os.path.join(d, "genome.sa.npz")
+    bwt = os.path.join(d, "genome.bwt.npz")
+    assert sawriter_run([sa, genome, "--fullSuffixArray"]) == 0
+    assert sa2bwt_run([genome, sa, bwt]) == 0
+    return reads, genome, ["--bwt", bwt]
+
+
+def make_big(d):
+    from blasr_tpu.io.fasta import FastaRecord, write_fasta
+    from blasr_tpu.sim import random_genome, simulate_reads
+    contigs = random_genome(4_600_000, seed=4600)
+    sims = simulate_reads(contigs, 10, read_len=(400, 2200), accuracy=0.85,
+                          seed=4601)
+    recs = [FastaRecord(f"movie/{i}/0_{len(s.rec.seq)}", s.rec.seq)
+            for i, s in enumerate(sims)]
+    # one read overlapping the contig end (end clamping edge case)
+    g = contigs[0].seq
+    recs.append(FastaRecord(f"movie/{len(recs)}/0_900", g[-900:].copy()))
+    write_fasta(os.path.join(d, "genome_big.fa"), contigs)
+    write_fasta(os.path.join(d, "reads_big.fa"), recs)
+    return (os.path.join(d, "reads_big.fa"),
+            os.path.join(d, "genome_big.fa"), [])
+
+
+def make_zmw(d):
+    from blasr_tpu.io.fasta import FastaRecord, revcomp, write_fasta
+    from blasr_tpu.sim import mutate, random_genome
+    rng = np.random.default_rng(901)
+    contigs = random_genome(80_000, seed=900)
+    g = contigs[0].seq
+    insert = g[30_000:30_600]
+    recs = []
+    pos = 0
+    for p in range(4):
+        frag = insert if p % 2 == 0 else revcomp(insert)
+        sub = mutate(frag, rng, 0.03, 0.07, 0.04)
+        recs.append(FastaRecord(f"mov/7/{pos}_{pos + len(sub)}", sub))
+        pos += len(sub) + 40
+    sub2 = mutate(g[60_000:60_500], rng, 0.03, 0.07, 0.04)
+    recs.append(FastaRecord(f"mov/9/0_{len(sub2)}", sub2))
+    write_fasta(os.path.join(d, "genome_zmw.fa"), contigs)
+    write_fasta(os.path.join(d, "reads_zmw.fa"), recs)
+    return (os.path.join(d, "reads_zmw.fa"),
+            os.path.join(d, "genome_zmw.fa"), [])
+
+
+def make_ccs(d):
+    from blasr_tpu.io.fasta import revcomp, write_fasta
+    from blasr_tpu.io.hdf import ZmwRead, write_ccs
+    from blasr_tpu.sim import random_genome, simulate_reads
+    contigs = random_genome(30_000, seed=111)
+    rng = np.random.default_rng(112)
+    sims = simulate_reads(contigs, 2, read_len=(300, 320), accuracy=0.99,
+                          seed=113)
+    ccs_zmws, raw_zmws, passes = [], [], []
+    for hole, s in zip((3, 8), sims):
+        tmpl = s.rec.seq
+        adapter = rng.integers(0, 4, 40).astype(np.int8)
+
+        def noisy(x):
+            y = x.copy()
+            idx = rng.random(len(y)) < 0.03
+            y[idx] = rng.integers(0, 4, int(idx.sum()))
+            return y
+
+        p1 = noisy(tmpl)
+        p2 = revcomp(noisy(tmpl))
+        p3 = noisy(tmpl[:120])
+        raw = np.concatenate([p1, adapter, p2, adapter, p3])
+        o2 = len(p1) + 40
+        o3 = o2 + len(p2) + 40
+        passes.append([(0, 0, len(p1), 1, 1), (1, o2, len(p2), 1, 1),
+                       (0, o3, len(p3), 1, 0)])
+        ccs_zmws.append(ZmwRead(hole, tmpl, {}))
+        raw_zmws.append(ZmwRead(hole, raw, {}))
+    path = os.path.join(d, "movie.ccs.h5")
+    write_ccs(path, "mccs", ccs_zmws, raw_zmws, passes)
+    write_fasta(os.path.join(d, "genome_ccs.fa"), contigs)
+    return path, os.path.join(d, "genome_ccs.fa"), []
+
+
+WORLDS = {"small": make_small, "small_bwt": make_small_bwt,
+          "big": make_big, "zmw": make_zmw, "ccs": make_ccs}
+
+
+def run_case(d, name, world, flags, world_cache):
     from blasr_tpu.cli.blasr import run
+    if world not in world_cache:
+        world_cache[world] = WORLDS[world](d)
+    reads, genome, extra = world_cache[world]
     out = os.path.join(d, f"out.{name}")
-    assert run([os.path.join(d, "reads.fa"), os.path.join(d, "genome.fa"),
-                "--out", out] + flags) == 0
+    assert run([reads, genome, "--out", out] + extra + flags) == 0
     text = open(out).read()
-    if name == "sam":
+    if name.startswith("sam"):
         # drop the @PG line (embeds the command line / output path)
         text = "\n".join(l for l in text.splitlines()
                          if not l.startswith("@PG")) + "\n"
     return text
 
 
-@pytest.mark.parametrize("name,flags", CASES)
-def test_golden(tmp_path, name, flags):
+@pytest.fixture(scope="module")
+def world_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("golden")), {}
+
+
+@pytest.mark.parametrize("name,world,flags", CASES)
+def test_golden(world_dir, name, world, flags):
+    d, cache = world_dir
     golden = os.path.join(GOLDEN_DIR, f"golden.{name}")
     if not os.path.exists(golden):
         pytest.skip("golden missing; run: python tests/test_golden.py regen")
-    make_world(str(tmp_path))
-    got = run_case(str(tmp_path), name, flags)
+    got = run_case(d, name, world, flags, cache)
     want = open(golden).read()
     assert got == want, f"output for {name} differs from {golden}"
 
 
-def regen():
+def regen(only_missing=False):
     import tempfile
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     with tempfile.TemporaryDirectory() as d:
-        make_world(d)
-        for name, flags in CASES:
-            text = run_case(d, name, flags)
-            with open(os.path.join(GOLDEN_DIR, f"golden.{name}"), "w") as f:
+        cache = {}
+        for name, world, flags in CASES:
+            path = os.path.join(GOLDEN_DIR, f"golden.{name}")
+            if only_missing and os.path.exists(path):
+                continue
+            text = run_case(d, name, world, flags, cache)
+            with open(path, "w") as f:
                 f.write(text)
             print(f"wrote golden.{name} ({len(text.splitlines())} lines)")
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+    if len(sys.argv) > 1 and sys.argv[1] in ("regen", "regen-missing"):
         import jax
         jax.config.update("jax_platforms", "cpu")
-        regen()
+        regen(only_missing=sys.argv[1] == "regen-missing")

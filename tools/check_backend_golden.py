@@ -22,14 +22,17 @@ import test_golden as tg
 def main() -> int:
     print(f"backend: {jax.default_backend()}")
     bad = 0
+    only = set(sys.argv[1:])
     with tempfile.TemporaryDirectory() as d:
-        tg.make_world(d)
-        for name, flags in tg.CASES:
+        cache = {}
+        for name, world, flags in tg.CASES:
+            if only and name not in only:
+                continue
             golden = os.path.join(tg.GOLDEN_DIR, f"golden.{name}")
             if not os.path.exists(golden):
                 print(f"{name}: NO GOLDEN")
                 continue
-            got = tg.run_case(d, name, flags)
+            got = tg.run_case(d, name, world, flags, cache)
             want = open(golden).read()
             ok = got == want
             print(f"{name}: {'IDENTICAL' if ok else 'DIFFERS'}")

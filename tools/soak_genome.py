@@ -1,0 +1,96 @@
+"""Genome-scale soak: placement accuracy + throughput at large reference
+sizes (the BASELINE.md "genome-scale single chip" protocol; VERDICT
+round-1 item 6: >= 99% correct placement at 200 Mbp).
+
+    python tools/soak_genome.py --mbp 200 --reads 2000 --k 14 --rescue
+
+Builds an N-Mbp random genome, simulates CLR-like reads with known truth,
+maps them on the current backend, and reports reads/s + the fraction whose
+best hit lands within 100 bp of the simulated locus.  --rescue adds the
+k=12 sensitive-index rescue pass for weak reads (Mapper(rescue=...)).
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mbp", type=float, default=200.0)
+    ap.add_argument("--reads", type=int, default=2000)
+    ap.add_argument("--k", type=int, default=14,
+                    help="fast-index seed size (direct LUT up to 14)")
+    ap.add_argument("--rescue", action="store_true",
+                    help="add the k=12 sensitive-index rescue pass")
+    ap.add_argument("--read-len", type=int, nargs=2, default=(500, 1980))
+    ap.add_argument("--accuracy", type=float, default=0.85)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+
+    import jax
+    from blasr_tpu.index import build_genome_index
+    from blasr_tpu.params import MappingParams, ShapeConfig
+    from blasr_tpu.pipeline.map_read import Mapper
+    from blasr_tpu.sim import random_genome, simulate_reads
+
+    n = int(args.mbp * 1e6)
+    t0 = time.time()
+    contigs = random_genome(n, seed=args.seed)
+    print(f"# genome {args.mbp:.0f} Mbp in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    gi = build_genome_index(contigs, k=args.k)
+    print(f"# k={args.k} index in {time.time()-t0:.0f}s", file=sys.stderr)
+    rescue = None
+    if args.rescue and args.k > 12:
+        t0 = time.time()
+        gi12 = build_genome_index(contigs, k=12)
+        print(f"# k=12 rescue index in {time.time()-t0:.0f}s",
+              file=sys.stderr)
+
+    t0 = time.time()
+    sims = simulate_reads(contigs, args.reads, read_len=tuple(args.read_len),
+                          accuracy=args.accuracy, seed=args.seed + 1)
+    print(f"# {args.reads} reads in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    params = MappingParams(min_match_length=args.k).make_sane()
+    cfg = ShapeConfig(buckets=(2048,), batch_size=32, max_anchors=512)
+    if args.rescue and args.k > 12:
+        rescue = Mapper(gi12, MappingParams().make_sane(), cfg)
+    mapper = Mapper(gi, params, cfg, rescue=rescue)
+
+    recs = [s.rec for s in sims]
+    t0 = time.time()
+    warm = mapper.map_reads(recs[:32])
+    print(f"# warmup {time.time()-t0:.0f}s", file=sys.stderr)
+    t0 = time.time()
+    results = mapper.map_reads(recs)
+    dt = time.time() - t0
+    n_mapped = n_correct = 0
+    for sim, alns in zip(sims, results):
+        if not alns:
+            continue
+        n_mapped += 1
+        best = min(alns, key=lambda a: a.score)
+        if (best.tindex == sim.contig and best.strand == sim.strand
+                and abs(best.tstart - sim.tstart) < 100):
+            n_correct += 1
+    print(f"# mapped {n_mapped}/{args.reads}, "
+          f"correct {n_correct} ({100.0*n_correct/args.reads:.2f}%), "
+          f"{args.reads/dt:.0f} reads/s", file=sys.stderr)
+    import json
+    print(json.dumps({
+        "mbp": args.mbp, "k": args.k, "rescue": bool(rescue),
+        "reads": args.reads, "mapped": n_mapped, "correct": n_correct,
+        "pct_correct": round(100.0 * n_correct / args.reads, 2),
+        "reads_per_sec": round(args.reads / dt, 1)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
