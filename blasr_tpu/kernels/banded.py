@@ -43,6 +43,7 @@ INF = jnp.float32(1e30)
 #   bit 4   : D opened from M (else from I)
 #   bit 5   : read base == target base at this cell
 ST_M, ST_I, ST_D = 0, 1, 2
+ST_H = 3  # homopolymer-insertion state (affine hp band; bit 6 = h_open)
 
 
 class BandedResult(NamedTuple):
@@ -77,7 +78,9 @@ def _pad_row(row: jnp.ndarray, fill) -> jnp.ndarray:
 def _align_one(
     read, window, offsets, qa, qb, ta, tb,
     submat, ins_open, ins_ext, del_open, del_ext, w_b,
+    hp_open=None, hp_ext=None,
 ):
+    use_hp = hp_open is not None
     """Forward DP for one read x one target window.
 
     read:    int8 [L]     query codes
@@ -99,19 +102,20 @@ def _align_one(
         d = (t_abs - ta).astype(jnp.float32)
         prof = jnp.where(t_abs >= ta, del_open + del_ext * d, INF)
         m0 = jnp.where(t_abs == ta - 1, 0.0, INF)
-        return m0, jnp.full((w_b,), INF), prof
+        return m0, jnp.full((w_b,), INF), prof, jnp.full((w_b,), INF)
 
     def step(carry, r):
-        pM, pI, pD, po, fin_score, fin_state, fin_ok = carry
+        pM, pI, pD, pH, po, fin_score, fin_state, fin_ok = carry
         o_r = offsets[r]
         active = (r >= qa) & (r < qb)
         first = r == qa
 
-        bM, bI, bD = boundary(o_r)
-        pM_, pI_, pD_ = (
+        bM, bI, bD, bH = boundary(o_r)
+        pM_, pI_, pD_, pH_ = (
             jnp.where(first, bM, pM),
             jnp.where(first, bI, pI),
             jnp.where(first, bD, pD),
+            jnp.where(first, bH, pH),
         )
         s = jnp.where(first, 0, o_r - po)
 
@@ -119,6 +123,10 @@ def _align_one(
         dM, dI, dD = (_shift(pMp, s - 1, w_b), _shift(pIp, s - 1, w_b),
                       _shift(pDp, s - 1, w_b))
         vM, vI = _shift(pMp, s, w_b), _shift(pIp, s, w_b)
+        if use_hp:
+            pHp = _pad_row(pH_, INF)
+            dH = _shift(pHp, s - 1, w_b)
+            vH = _shift(pHp, s, w_b)
 
         t_abs = o_r + jnp.arange(w_b, dtype=jnp.int32)
         in_t = (t_abs >= ta) & (t_abs < tb)
@@ -131,8 +139,17 @@ def _align_one(
         eq = (rb == tgt.astype(jnp.int32)) & (rb < 4)
 
         diag_best = jnp.minimum(dM, jnp.minimum(dI, dD))
-        m_src = jnp.where(dM <= diag_best, ST_M,
-                          jnp.where(dI <= diag_best, ST_I, ST_D)).astype(jnp.uint8)
+        if use_hp:
+            diag_best = jnp.minimum(diag_best, dH)
+            m_src = jnp.where(
+                dM <= diag_best, ST_M,
+                jnp.where(dI <= diag_best, ST_I,
+                          jnp.where(dD <= diag_best, ST_D,
+                                    ST_H))).astype(jnp.uint8)
+        else:
+            m_src = jnp.where(
+                dM <= diag_best, ST_M,
+                jnp.where(dI <= diag_best, ST_I, ST_D)).astype(jnp.uint8)
         M = jnp.where(in_t, sub + diag_best, INF)
 
         i_from_m = vM + ins_open
@@ -140,7 +157,23 @@ def _align_one(
         I = jnp.where(in_t_i, jnp.minimum(i_from_m, i_from_i), INF)
         i_open = i_from_m <= i_from_i
 
-        base = jnp.minimum(M, I)
+        if use_hp:
+            # homopolymer-insertion band (AffineKBandAlign's hpIns track,
+            # BlasrAlignImpl.hpp:1262-1266): an inserted base equal to
+            # the previous read base opens/extends at hp costs
+            rprev = jnp.where(r > 0, read[jnp.maximum(r - 1, 0)].astype(
+                jnp.int32), 4)
+            hp_ok = (read[r].astype(jnp.int32) == rprev) & (rprev < 4)
+            h_from_m = vM + hp_open
+            h_from_h = vH + hp_ext
+            H = jnp.where(in_t_i & hp_ok,
+                          jnp.minimum(h_from_m, h_from_h), INF)
+            h_open_bit = h_from_m <= h_from_h
+            base = jnp.minimum(jnp.minimum(M, I), H)
+        else:
+            H = pH_
+            h_open_bit = jnp.zeros((w_b,), bool)
+            base = jnp.minimum(M, I)
         w_idx = jnp.arange(w_b, dtype=jnp.float32)
         g = jnp.where(base < INF * 0.5, base - del_ext * w_idx, INF)
         run = jax.lax.cummin(g)
@@ -163,12 +196,14 @@ def _align_one(
             | (d_open.astype(jnp.uint8) << 3)
             | (d_from_m.astype(jnp.uint8) << 4)
             | (eq.astype(jnp.uint8) << 5)
+            | (h_open_bit.astype(jnp.uint8) << 6)
         )
         bits = jnp.where(active, bits, jnp.uint8(0))
 
         nM = jnp.where(active, M, pM)
         nI = jnp.where(active, I, pI)
         nD = jnp.where(active, D, pD)
+        nH = jnp.where(active, H, pH)
         no = jnp.where(active, o_r, po)
 
         # record final score at row qb-1, cell t = tb-1
@@ -178,28 +213,37 @@ def _align_one(
         wf_c = jnp.clip(wf, 0, w_b - 1)
         cM, cI, cD = M[wf_c], I[wf_c], D[wf_c]
         cbest = jnp.minimum(cM, jnp.minimum(cI, cD))
-        cstate = jnp.where(cM <= cbest, ST_M,
-                           jnp.where(cI <= cbest, ST_I, ST_D))
+        if use_hp:
+            cH = H[wf_c]
+            cbest = jnp.minimum(cbest, cH)
+            cstate = jnp.where(cM <= cbest, ST_M,
+                               jnp.where(cI <= cbest, ST_I,
+                                         jnp.where(cD <= cbest, ST_D, ST_H)))
+        else:
+            cstate = jnp.where(cM <= cbest, ST_M,
+                               jnp.where(cI <= cbest, ST_I, ST_D))
         hit = is_last & active & ok_wf & (cbest < INF * 0.5)
         fin_score = jnp.where(hit, cbest, fin_score)
         fin_state = jnp.where(hit, cstate, fin_state)
         fin_ok = fin_ok | hit
 
-        return (nM, nI, nD, no, fin_score, fin_state, fin_ok), bits
+        return (nM, nI, nD, nH, no, fin_score, fin_state, fin_ok), bits
 
     carry0 = (
         jnp.full((w_b,), INF), jnp.full((w_b,), INF), jnp.full((w_b,), INF),
+        jnp.full((w_b,), INF),
         jnp.int32(0), INF, jnp.int32(ST_M), jnp.bool_(False),
     )
-    (_, _, _, _, score, state, ok), tbbits = jax.lax.scan(
+    (_, _, _, _, _, score, state, ok), tbbits = jax.lax.scan(
         step, carry0, jnp.arange(L, dtype=jnp.int32))
     return score, tbbits, state, ok
 
 
-@functools.partial(jax.jit, static_argnames=("w_b",))
+@functools.partial(jax.jit, static_argnames=("w_b", "use_hp"))
 def banded_align(
     reads, windows, offsets, qa, qb, ta, tb, submat,
     ins_open, ins_ext, del_open, del_ext, *, w_b: int = 128,
+    use_hp: bool = False, hp_open=0.0, hp_ext=0.0,
 ) -> BandedResult:
     """Batched guided banded alignment.
 
@@ -215,13 +259,26 @@ def banded_align(
     ins_ext = jnp.asarray(ins_ext, jnp.float32)
     del_open = jnp.asarray(del_open, jnp.float32)
     del_ext = jnp.asarray(del_ext, jnp.float32)
-    f = jax.vmap(
-        _align_one,
-        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None, None, None),
-    )
-    score, tbbits, state, ok = f(
-        reads, windows, offsets, qa, qb, ta, tb,
-        submat, ins_open, ins_ext, del_open, del_ext, w_b)
+    if use_hp:
+        f = jax.vmap(
+            _align_one,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None, None,
+                     None, None, None),
+        )
+        score, tbbits, state, ok = f(
+            reads, windows, offsets, qa, qb, ta, tb,
+            submat, ins_open, ins_ext, del_open, del_ext, w_b,
+            jnp.asarray(hp_open, jnp.float32),
+            jnp.asarray(hp_ext, jnp.float32))
+    else:
+        f = jax.vmap(
+            _align_one,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None, None,
+                     None),
+        )
+        score, tbbits, state, ok = f(
+            reads, windows, offsets, qa, qb, ta, tb,
+            submat, ins_open, ins_ext, del_open, del_ext, w_b)
     return BandedResult(score, tbbits, state.astype(jnp.int32), ok)
 
 
@@ -240,6 +297,7 @@ def _traceback_one(tbbits, offsets, qa, qb, ta, tb, state0, ok, t_max, w_b):
         d_open = (cell >> 3) & 1
         d_from_m = (cell >> 4) & 1
         eq = (cell >> 5) & 1
+        h_open = (cell >> 6) & 1
 
         # boundary: consume remaining leading target bases as deletions
         # (done once t reaches ta-1, the boundary zero cell)
@@ -249,26 +307,28 @@ def _traceback_one(tbbits, offsets, qa, qb, ta, tb, state0, ok, t_max, w_b):
         is_m = (~at_boundary) & (st == ST_M)
         is_i = (~at_boundary) & (st == ST_I)
         is_d = (~at_boundary) & (st == ST_D)
+        is_h = (~at_boundary) & (st == ST_H)
 
         op = jnp.where(
             done | b_done, 0,
             jnp.where(b_more, 3,
             jnp.where(is_m, jnp.where(eq == 1, 1, 4),
-            jnp.where(is_i, 2, 3)))).astype(jnp.uint8)
+            jnp.where(is_i | is_h, 2, 3)))).astype(jnp.uint8)
 
         nr = jnp.where(done | b_done, r,
              jnp.where(b_more, r,
-             jnp.where(is_m | is_i, r - 1, r)))
+             jnp.where(is_m | is_i | is_h, r - 1, r)))
         nt = jnp.where(done | b_done, t,
              jnp.where(b_more, t - 1,
              jnp.where(is_m | is_d, t - 1, t)))
         nst = jnp.where(is_m, m_src,
               jnp.where(is_i, jnp.where(i_open == 1, ST_M, ST_I),
+              jnp.where(is_h, jnp.where(h_open == 1, ST_M, ST_H),
               jnp.where(is_d,
                         jnp.where(d_open == 1,
                                   jnp.where(d_from_m == 1, ST_M, ST_I),
                                   ST_D),
-                        st)))
+                        st))))
         ndone = done | b_done | ((~at_boundary) & ~w_ok)
         return (nr, nt, nst, ndone), op
 

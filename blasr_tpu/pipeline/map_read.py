@@ -224,7 +224,8 @@ def _band_offsets(mq, mt, ws, L, W, w_b,
                      "max_chain", "min_match", "max_anchors_per_pos",
                      "max_lcp", "indel_rate", "C_dp", "use_pallas",
                      "p_value_type", "lookback", "aggressive_cut",
-                     "advance_exact", "k_sdp", "sdp_occ", "between_only"),
+                     "advance_exact", "k_sdp", "sdp_occ", "between_only",
+                     "use_hp"),
 )
 def map_batch(
     index: DeviceIndex,
@@ -247,7 +248,7 @@ def map_batch(
     max_lcp: int, indel_rate: float, C_dp: int = 0, use_pallas: bool = False,
     p_value_type: int = 3, lookback: int = 0, aggressive_cut: bool = False,
     advance_exact: int = 0, k_sdp: int = 0, sdp_occ: int = 2,
-    between_only: bool = False,
+    between_only: bool = False, use_hp: bool = False,
 ) -> PackedBatch:
     B = reads.shape[0]
     G = index.genome.shape[0]
@@ -424,10 +425,18 @@ def map_batch(
         offs = offs.at[srows].set(offs_sub)
 
     if use_pallas:
+        assert not use_hp, "hp-insertion band requires the XLA kernel"
         from blasr_tpu.kernels.pallas_banded import pallas_banded_align
         res = pallas_banded_align(
             reads_sel, windows, offs, qa, qb, ta, tb, submat,
             gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3], w_b=w_b)
+    elif use_hp:
+        # affine path with the homopolymer-insertion band
+        # (AffineKBandAlign, BlasrAlignImpl.hpp:1262-1266)
+        res = banded_align(
+            reads_sel, windows, offs, qa, qb, ta, tb, submat,
+            gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3], w_b=w_b,
+            use_hp=True, hp_open=gap_costs[4], hp_ext=gap_costs[5])
     else:
         res = banded_align(
             reads_sel, windows, offs, qa, qb, ta, tb, submat,
@@ -676,15 +685,21 @@ class Mapper:
             np.all(np.diag(m5)[:4] == m5[0, 0])
             and np.all(m5[~np.eye(5, dtype=bool)] == m5[0, 1])
             and m5[4, 4] == m5[0, 1])
+        p = self.params
+        # the affine path carries the homopolymer-insertion band, which
+        # lives in the XLA kernel only
         self.use_pallas = (jax.default_backend() != "cpu"
                            and two_valued
-                           and (cfg or ShapeConfig()).band_width == 128)
-        p = self.params
+                           and not p.affine_align
+                           and self.cfg.band_width == 128)
         if p.affine_align:
             gaps = [p.affine_open + p.insertion, max(p.affine_extend, 1),
-                    p.affine_open + p.deletion, max(p.affine_extend, 1)]
+                    p.affine_open + p.deletion, max(p.affine_extend, 1),
+                    # hp ins open/extend = indel+2 / indel-3
+                    # (AffineKBandAlign call, BlasrAlignImpl.hpp:1262-1263)
+                    p.indel + 2, max(p.indel - 3, 1)]
         else:
-            gaps = [p.insertion, p.insertion, p.deletion, p.deletion]
+            gaps = [p.insertion, p.insertion, p.deletion, p.deletion, 0, 0]
         self.gap_costs = jnp.asarray(gaps, dtype=jnp.float32)
 
     def _chain_lookback(self) -> int:
@@ -745,7 +760,8 @@ class Mapper:
                     advance_exact=p.advance_exact_matches,
                     k_sdp=min(p.sdp_tuple_size, 16),
                     sdp_occ=1 if p.fast_sdp else 2,
-                    between_only=p.refine_between_anchors_only)
+                    between_only=p.refine_between_anchors_only,
+                    use_hp=p.affine_align)
             pending.append((group, lens, res))
         # phase 2: collect (transfers overlap with later batches' compute)
         for group, lens, res in pending:

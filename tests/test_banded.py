@@ -191,3 +191,56 @@ def test_band_shift_with_offset_jump():
                             submat, 4, 4, 5, 5)
     assert cost == pytest.approx(float(res.score[0]))
     assert (q, t) == (L, W)
+
+
+def test_hp_insertion_band():
+    """Affine hp-insertion track (AffineKBandAlign's hpIns band,
+    BlasrAlignImpl.hpp:1262-1266): homopolymer insertions extend cheaper
+    than arbitrary insertions; without the track both cost the same."""
+    import numpy as np
+    import jax.numpy as jnp
+    from blasr_tpu.kernels.banded import banded_align, banded_traceback
+
+    rng = np.random.default_rng(5)
+    tgt = rng.integers(0, 4, 120).astype(np.int8)
+    tgt[50:54] = 0  # AAAA homopolymer
+    W = 256
+    win = np.full(W, 4, np.int8)
+    win[1:121] = tgt
+
+    def mk_read(insert):
+        r = np.concatenate([tgt[:54], insert, tgt[54:]]).astype(np.int8)
+        return r
+
+    hp_read = mk_read(np.zeros(4, np.int8))          # AAAA inserted (hp)
+    rnd_read = mk_read(np.array([1, 2, 1, 2], np.int8))
+    L = 128
+    reads = np.full((2, L), 4, np.int8)
+    reads[0, :len(hp_read)] = hp_read
+    reads[1, :len(rnd_read)] = rnd_read
+    offs = np.clip(np.arange(L)[None, :] - 32, 0, W - 128).astype(np.int32)
+    offs = np.repeat(offs, 2, axis=0)
+    qa = jnp.zeros(2, jnp.int32)
+    qb = jnp.full(2, len(hp_read), jnp.int32)
+    ta = jnp.full(2, 1, jnp.int32)
+    tb = jnp.full(2, 121, jnp.int32)
+    sub = jnp.asarray(np.where(np.eye(5, dtype=bool), -5.0, 6.0)
+                      .reshape(25).astype(np.float32))
+    args = (jnp.asarray(reads), jnp.asarray(win)[None].repeat(2, 0),
+            jnp.asarray(offs), qa, qb, ta, tb, sub, 7.0, 4.0, 5.0, 5.0)
+    plain = banded_align(*args, w_b=128)
+    hp = banded_align(*args, w_b=128, use_hp=True, hp_open=7.0, hp_ext=2.0)
+    s_plain = np.asarray(plain.score)
+    s_hp = np.asarray(hp.score)
+    # without the track, both inserts cost the same
+    assert s_plain[0] == s_plain[1]
+    # with it, the homopolymer insert is cheaper; the random one unchanged
+    assert s_hp[0] < s_hp[1]
+    assert s_hp[1] == s_plain[1]
+    # traceback through the H state stays consistent
+    tbk = banded_traceback(hp, jnp.asarray(offs), qa, qb, ta, tb,
+                           t_max=L + W, w_b=128)
+    n_ins = np.asarray(tbk.n_ins)
+    assert n_ins[0] == 4 and n_ins[1] == 4
+    qc = np.asarray(tbk.n_match + tbk.n_mismatch + tbk.n_ins)
+    assert (qc == len(hp_read)).all()

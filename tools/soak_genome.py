@@ -33,6 +33,10 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     from blasr_tpu.index import build_genome_index
     from blasr_tpu.params import MappingParams, ShapeConfig
     from blasr_tpu.pipeline.map_read import Mapper
@@ -67,6 +71,8 @@ def main() -> int:
     recs = [s.rec for s in sims]
     t0 = time.time()
     warm = mapper.map_reads(recs[:32])
+    if rescue is not None:
+        rescue.map_reads(recs[:32])
     print(f"# warmup {time.time()-t0:.0f}s", file=sys.stderr)
     t0 = time.time()
     results = mapper.map_reads(recs)
