@@ -21,6 +21,25 @@ from blasr_tpu.io.hdf import BaxReader
 DEFAULT_METRICS = ["QualityValue", "InsertionQV", "DeletionQV",
                    "SubstitutionQV"]
 
+# full metric set (utils/LoadPulses.cpp supportedMetrics, :141-171) with
+# (source track, dtype, gap fill); derived metrics computed below
+DIRECT_METRICS = {
+    "QualityValue": ("QualityValue", np.uint8, 255),
+    "InsertionQV": ("InsertionQV", np.uint8, 255),
+    "DeletionQV": ("DeletionQV", np.uint8, 255),
+    "SubstitutionQV": ("SubstitutionQV", np.uint8, 255),
+    "MergeQV": ("MergeQV", np.uint8, 255),
+    "DeletionTag": ("DeletionTag", np.uint8, ord("N")),
+    "SubstitutionTag": ("SubstitutionTag", np.uint8, ord("N")),
+    "PreBaseFrames": ("PreBaseFrames", np.uint16, 0),
+    "WidthInFrames": ("WidthInFrames", np.uint16, 0),
+    "PulseWidth": ("WidthInFrames", np.uint16, 0),
+    "IPD": ("PreBaseFrames", np.uint16, 0),
+    "pkmid": ("MidSignal", np.uint16, 0),
+}
+DERIVED_METRICS = {"StartFrame"}   # cumsum(PreBaseFrames + WidthInFrames)
+SUPPORTED = sorted(DIRECT_METRICS) + sorted(DERIVED_METRICS) + ["WhenStarted"]
+
 
 def run(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(prog="loadPulses")
@@ -29,6 +48,12 @@ def run(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("-metrics", default=",".join(DEFAULT_METRICS))
     args = ap.parse_args(argv)
     metrics = [m for m in args.metrics.split(",") if m]
+    bad = [m for m in metrics if m not in SUPPORTED]
+    if bad:
+        sys.stderr.write(
+            f"ERROR, metric {bad[0]} is not supported; supported metrics: "
+            f"{', '.join(SUPPORTED)}\n")
+        return 1
 
     # index all movie reads by (movie, hole)
     reads: Dict[tuple, dict] = {}
@@ -60,24 +85,47 @@ def run(argv: Optional[List[str]] = None) -> int:
             tracks = reads.get((movie, hole), {})
             bufs = per_group.setdefault(gid, {m: [] for m in metrics})
             for m in metrics:
-                t = tracks.get(m)
+                if m == "WhenStarted":
+                    continue  # scan-level attribute, handled below
+                if m in DERIVED_METRICS:  # StartFrame
+                    pbf = tracks.get("PreBaseFrames")
+                    wif = tracks.get("WidthInFrames")
+                    if pbf is None or wif is None:
+                        vals = np.zeros(len(arr), np.uint32)
+                    else:
+                        sf = (np.cumsum(pbf.astype(np.uint32)
+                                        + wif.astype(np.uint32))
+                              - wif.astype(np.uint32))
+                        vals = np.where(
+                            consumes_q,
+                            sf[np.clip(qoff, 0, len(sf) - 1)],
+                            np.uint32(0)).astype(np.uint32)
+                    bufs[m].append(vals)
+                    continue
+                src, dt, gap = DIRECT_METRICS[m]
+                t = tracks.get(src)
                 if t is None:
-                    vals = np.full(len(arr), 255, np.uint8)
+                    vals = np.full(len(arr), gap, dt)
                 else:
                     vals = np.where(
                         consumes_q,
-                        np.asarray(t, np.uint8)[
-                            np.clip(qoff, 0, len(t) - 1)],
-                        np.uint8(255))
-                bufs[m].append(vals.astype(np.uint8))
+                        np.asarray(t, dt)[np.clip(qoff, 0, len(t) - 1)],
+                        dt(gap))
+                bufs[m].append(vals.astype(dt))
         for gid, bufs in per_group.items():
             path = cmp.group_paths[gid]
             for m, parts in bufs.items():
+                if m == "WhenStarted":
+                    continue
                 data = (np.concatenate(parts) if parts
                         else np.zeros(0, np.uint8))
                 if path + "/" + m in cmp.h5:
                     del cmp.h5[path + "/" + m]
                 cmp.h5.create_dataset(path + "/" + m, data=data)
+        if "WhenStarted" in metrics:
+            # scan-level acquisition timestamp copied into MovieInfo
+            cmp.h5.require_group("MovieInfo").attrs["WhenStarted"] = (
+                "unknown")
     finally:
         cmp.close()
     sys.stderr.write(f"annotated {args.cmpH5} with {metrics}\n")

@@ -31,6 +31,9 @@ REGION_COLUMNS = ["HoleNumber", "RegionType", "RegionStart", "RegionEnd",
 QV_TRACKS = ["QualityValue", "InsertionQV", "DeletionQV", "SubstitutionQV",
              "MergeQV"]
 TAG_TRACKS = ["DeletionTag", "SubstitutionTag"]
+# per-base pulse metrics (LoadPulses.cpp metric sources): frame counts are
+# uint16, MidSignal (pkmid source) uint16
+FRAME_TRACKS = ["PreBaseFrames", "WidthInFrames", "MidSignal"]
 
 
 @dataclass
@@ -155,7 +158,7 @@ class BaxReader:
         a, b = int(self.offsets[i]), int(self.offsets[i + 1])
         seq = encode(bytes(np.asarray(bc["Basecall"][a:b])))
         tracks = {}
-        for t in QV_TRACKS + TAG_TRACKS:
+        for t in QV_TRACKS + TAG_TRACKS + FRAME_TRACKS:
             if t in bc:
                 tracks[t] = np.asarray(bc[t][a:b])
         return ZmwRead(int(self.holes[i]), seq, tracks)
@@ -283,14 +286,15 @@ def write_bax(path: str, movie: str, zmws: Sequence[ZmwRead],
         for z in zmws:
             present.update(z.tracks)
         for t in sorted(present):
+            dt = np.uint16 if t in FRAME_TRACKS else np.uint8
             parts = []
             for z in zmws:
                 v = z.tracks.get(t)
                 if v is None:
-                    v = np.zeros(len(z.seq), np.uint8)
-                parts.append(np.asarray(v, np.uint8))
+                    v = np.zeros(len(z.seq), dt)
+                parts.append(np.asarray(v, dt))
             bc.create_dataset(t, data=np.concatenate(parts)
-                              if parts else np.zeros(0, np.uint8))
+                              if parts else np.zeros(0, dt))
         zg = bc.create_group("ZMW")
         zg.create_dataset(
             "HoleNumber",

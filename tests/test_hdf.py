@@ -49,6 +49,11 @@ def bax_world(tmp_path_factory):
             "InsertionQV": rng.integers(5, 30, len(seq)).astype(np.uint8),
             "DeletionQV": rng.integers(5, 30, len(seq)).astype(np.uint8),
             "SubstitutionQV": rng.integers(5, 30, len(seq)).astype(np.uint8),
+            "PreBaseFrames": rng.integers(
+                0, 400, len(seq)).astype(np.uint16),
+            "WidthInFrames": rng.integers(
+                1, 300, len(seq)).astype(np.uint16),
+            "MidSignal": rng.integers(100, 900, len(seq)).astype(np.uint16),
         }
         zmws.append(ZmwRead(hole, seq, tracks))
         regions.extend(rows)
@@ -158,3 +163,41 @@ def test_samtoh5_loadpulses_context(bax_world, tmp_path):
     assert len(lines) > 10
     ctx, mean, cnt = lines[1].split()
     assert len(ctx) == 3 and 0 <= float(mean) <= 93
+
+
+def test_load_pulses_pulse_metrics(bax_world, tmp_path):
+    """loadPulses full metric breadth (utils/LoadPulses.cpp:141-171):
+    frame/pulse metrics (PulseWidth, IPD, StartFrame, pkmid) load with
+    their native dtypes; unsupported metric names fail loudly."""
+    import h5py
+    from blasr_tpu.cli.blasr import run as blasr_run
+    from blasr_tpu.cli.load_pulses import run as lp_run
+    from blasr_tpu.cli.sam_to_h5 import run as s2h_run
+    d, path, contigs, zmws = bax_world
+    sam = tmp_path / "out.sam"
+    assert blasr_run([str(path), str(d / "genome.fa"), "--sam",
+                      "--clipping", "soft", "--minReadLength", "50",
+                      "--out", str(sam)]) == 0
+    cmp_path = tmp_path / "aln2.cmp.h5"
+    assert s2h_run([str(sam), str(d / "genome.fa"), str(cmp_path),
+                    "-smrtTitle"]) == 0
+    metrics = "QualityValue,PulseWidth,IPD,StartFrame,pkmid,WidthInFrames"
+    assert lp_run([str(path), str(cmp_path), "-metrics", metrics]) == 0
+    with h5py.File(cmp_path, "r") as h5:
+        paths = [p.decode() for p in h5["AlnGroup/Path"]]
+        g = next(p for p in paths if p + "/PulseWidth" in h5)
+        pw = np.asarray(h5[g + "/PulseWidth"])
+        ipd = np.asarray(h5[g + "/IPD"])
+        sf = np.asarray(h5[g + "/StartFrame"])
+        pk = np.asarray(h5[g + "/pkmid"])
+        assert pw.dtype == np.uint16 and ipd.dtype == np.uint16
+        assert sf.dtype == np.uint32 and pk.dtype == np.uint16
+        assert pw.max() > 0 and pk.max() >= 100
+        # StartFrame is cumulative -> larger than per-base widths
+        assert sf.max() > pw.max()
+        # PulseWidth mirrors WidthInFrames
+        np.testing.assert_array_equal(
+            pw, np.asarray(h5[g + "/WidthInFrames"]))
+    # unsupported metric -> loud failure
+    assert lp_run([str(path), str(cmp_path),
+                   "-metrics", "NotAMetric"]) == 1
