@@ -102,6 +102,47 @@ class TargetWindow:
     strand: int      # template alignment strand
 
 
+def _pad_mini_index(mini):
+    """Pad the mini-genome index arrays (genome, k-mer table, contig
+    table) to power-of-two tiers so consecutive concordant/CCS window
+    sets of similar size reuse ONE compiled executable instead of
+    re-jitting per distinct shape (BAM-concordant throughput)."""
+    import numpy as np
+
+    def tier(n, lo):
+        t = lo
+        while t < n:
+            t *= 2
+        return t
+
+    g = len(mini.genome)
+    gp = tier(g, 4096)
+    if gp > g:
+        mini.genome = np.concatenate(
+            [mini.genome, np.full(gp - g, 4, np.int8)])
+    m = len(mini.keys_sorted)
+    mp = tier(m, 1024)
+    if mp > m:
+        mini.keys_sorted = np.concatenate(
+            [mini.keys_sorted,
+             np.full(mp - m, 0xFFFFFFFF, np.uint32)])
+        mini.pos_sorted = np.concatenate(
+            [mini.pos_sorted, np.zeros(mp - m, mini.pos_sorted.dtype)])
+    nc = mini.seqdb.n_contigs
+    cp = tier(nc, 8)
+    if cp > nc:
+        pad = cp - nc
+        end = int(len(mini.genome))
+        mini.seqdb.names = list(mini.seqdb.names) + [
+            f"~pad{j}" for j in range(pad)]
+        mini.seqdb.starts = np.concatenate(
+            [mini.seqdb.starts, np.full(pad, end, np.int64)])
+        mini.seqdb.lengths = np.concatenate(
+            [mini.seqdb.lengths, np.zeros(pad, np.int64)])
+        mini.seqdb.md5s = list(mini.seqdb.md5s) + [""] * pad
+    return mini
+
+
 def map_concordant(
     mapper: Mapper,
     recs: Sequence[FastaRecord],
@@ -153,7 +194,7 @@ def _map_to_template_windows(
         return out
 
     # 3) map all non-template subreads against the window mini-genome
-    mini = build_genome_index(win_recs, k=min(12, gi.k))
+    mini = _pad_mini_index(build_genome_index(win_recs, k=min(12, gi.k)))
     sub_params = params.make_sane()
     mini_mapper = Mapper(mini, sub_params, mapper.cfg)
     queries = []

