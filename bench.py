@@ -51,13 +51,17 @@ def main():
     recs = [s.rec for s in sims]
 
     params = MappingParams().make_sane()
-    # single length bucket: one compile (remote-TPU compiles are minutes)
-    cfg = ShapeConfig(buckets=(2048,), batch_size=32, max_anchors=512)
+    # two length buckets: short reads skip half the DP/traceback work;
+    # the persistent compile cache keeps the extra warmup affordable
+    cfg = ShapeConfig(buckets=(1024, 2048), batch_size=32, max_anchors=512)
     mapper = Mapper(gi, params, cfg)
 
     # warmup: compile the bucket
     t0 = time.time()
-    warm = mapper.map_reads(recs[:32])
+    # warm both buckets (first 32 short + 32 long by length)
+    order = sorted(range(len(recs)), key=lambda i: len(recs[i].seq))
+    warm_ids = order[:16] + order[-16:]
+    warm = mapper.map_reads([recs[i] for i in warm_ids])
     print(f"# warmup (compile) {time.time()-t0:.1f}s", file=sys.stderr)
 
     # 3 measured passes, best taken: the remote-TPU tunnel shows

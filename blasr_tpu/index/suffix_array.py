@@ -76,17 +76,25 @@ def build_lookup_table(codes: np.ndarray, sa: np.ndarray, prefix_len: int = 8):
     """
     p = prefix_len
     n = len(codes)
-    keys, valid = kmer_keys(codes, p)
-    # key per SA entry, invalid -> past-the-end bucket
-    sa_keys = np.where(valid[sa], keys[sa], 4**p)
+    s = np.asarray(codes, dtype=np.int64)
+    # base-5 prefix key per position (N = 4 participates as an ordinary
+    # digit): lexicographic SA order makes this key monotone along the SA,
+    # so every bucket's suffixes are one contiguous SA range even though
+    # N-containing suffixes interleave between valid buckets
+    key5 = np.zeros(n, dtype=np.int64)
+    for j in range(p):
+        d = np.full(n, 4, dtype=np.int64)
+        d[: n - j] = np.minimum(s[j:], 4)
+        key5 = key5 * 5 + d
+    sa_key5 = key5[sa]
+    # expand each valid base-4 bucket id into its base-5 key
     nb = 4**p
-    counts = np.bincount(sa_keys, minlength=nb + 1)[: nb + 1]
-    ends = np.cumsum(counts)
-    starts = ends - counts
-    # note: SA is sorted lexicographically and key order == suffix order for
-    # valid prefixes, but invalid suffixes are interleaved; the table is
-    # therefore built by bucket-count, usable only with the companion
-    # per-bucket position lists.  The hot path uses kmer_index instead.
+    b = np.arange(nb, dtype=np.int64)
+    b5 = np.zeros(nb, dtype=np.int64)
+    for j in range(p):
+        b5 = b5 * 5 + ((b >> (2 * (p - 1 - j))) & 3)
+    starts = np.searchsorted(sa_key5, b5, side="left")
+    ends = np.searchsorted(sa_key5, b5, side="right")
     return starts.astype(np.int64), ends.astype(np.int64)
 
 

@@ -82,6 +82,10 @@ class PackedBatch(NamedTuple):
     clusters: jnp.ndarray   # int32 [2B, C_stat, 2] (chain weight, gate ok):
     #                         the ClusterList analog, deeper than C so
     #                         numSignificantClusters can exceed nCandidates
+    flat: Optional[jnp.ndarray] = None  # int32 [*]: ints+clusters+ops in
+    #                         one buffer — a single device->host transfer
+    #                         (each transfer pays a full round trip over
+    #                         remote attachments)
 
 
 class BatchResult(NamedTuple):
@@ -111,10 +115,19 @@ class BatchResult(NamedTuple):
 
 
 def unpack_batch(pb: PackedBatch) -> BatchResult:
-    """Fetch a PackedBatch to host numpy and expand the column block."""
-    ints = np.asarray(pb.ints)
-    ops = np.asarray(pb.ops)
-    clusters = np.asarray(pb.clusters)
+    """Fetch a PackedBatch to host numpy and expand the column block.
+    When the fused buffer is present, ONE transfer covers everything."""
+    if pb.flat is not None:
+        buf = np.asarray(pb.flat)
+        n_i = int(np.prod(pb.ints.shape))
+        n_c = int(np.prod(pb.clusters.shape))
+        ints = buf[:n_i].reshape(pb.ints.shape)
+        clusters = buf[n_i:n_i + n_c].reshape(pb.clusters.shape)
+        ops = buf[n_i + n_c:].view(np.uint8).reshape(pb.ops.shape)
+    else:
+        ints = np.asarray(pb.ints)
+        ops = np.asarray(pb.ops)
+        clusters = np.asarray(pb.clusters)
     c = [ints[..., i] for i in range(ints.shape[-1])]
     return BatchResult(
         score=c[10].astype(np.float32), valid=c[0] > 0,

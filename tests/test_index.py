@@ -105,3 +105,27 @@ def test_index_save_load(tmp_path, small_index):
     assert np.array_equal(gi.keys_sorted, small_index.keys_sorted)
     assert gi.seqdb.names == small_index.seqdb.names
     assert gi.k == small_index.k
+
+
+def test_sa_lookup_table_ranges_are_exact():
+    """build_lookup_table's SA ranges are directly usable by external .sa
+    consumers: sa[starts[b]:ends[b]] enumerates exactly the positions of
+    p-mer b, even with interleaved N-containing suffixes."""
+    import numpy as np
+    from blasr_tpu.index.suffix_array import (build_lookup_table,
+                                              build_suffix_array)
+    rng = np.random.default_rng(17)
+    codes = rng.integers(0, 4, 3000).astype(np.int8)
+    codes[100:105] = 4   # an N run to force interleaving
+    codes[1700] = 4
+    sa = build_suffix_array(codes)
+    p = 4
+    starts, ends = build_lookup_table(codes, sa, prefix_len=p)
+    n = len(codes)
+    for b in (0, 3, 77, 201, 255):
+        want = sorted(
+            i for i in range(n - p + 1)
+            if (codes[i:i + p] < 4).all()
+            and int("".join(str(x) for x in codes[i:i + p]), 4) == b)
+        got = sorted(int(x) for x in sa[starts[b]:ends[b]])
+        assert got == want, (b, got[:5], want[:5])
