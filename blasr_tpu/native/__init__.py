@@ -90,19 +90,24 @@ def sais_native(codes: np.ndarray) -> Optional[np.ndarray]:
 
 
 _OPSYM = {1: "M", 2: "I", 3: "D", 4: "X"}
+_scratch = threading.local()
 
 
 def cigar_native(packed: np.ndarray, allow_adjacent: bool):
     """CIGAR runs from 2-bit packed end-first ops; None if the extension
     is unavailable.  Returns [(op_char, count), ...] in alignment order,
     adjacent I/D pairs folded into 'X' unless allow_adjacent."""
-    lib = get_lib()
+    lib = _lib if _lib is not None else get_lib()
     if lib is None or not hasattr(lib, "cigar_from_packed"):
         return None
     p = np.ascontiguousarray(packed, dtype=np.uint8)
     max_runs = p.size * 4 + 1
-    ops = np.empty(max_runs, dtype=np.uint8)
-    cnts = np.empty(max_runs, dtype=np.int32)
+    bufs = getattr(_scratch, "bufs", None)
+    if bufs is None or bufs[0].size < max_runs:
+        bufs = (np.empty(max_runs, dtype=np.uint8),
+                np.empty(max_runs, dtype=np.int32))
+        _scratch.bufs = bufs
+    ops, cnts = bufs
     n = lib.cigar_from_packed(
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(p.size), ctypes.c_int(1 if allow_adjacent else 0),
@@ -111,7 +116,10 @@ def cigar_native(packed: np.ndarray, allow_adjacent: bool):
         ctypes.c_int64(max_runs))
     if n < 0:
         return None
-    return [(_OPSYM[int(o)], int(c)) for o, c in zip(ops[:n], cnts[:n])]
+    # bulk tolist() then zip: per-element int(np scalar) conversion was
+    # ~10x slower than the C call itself
+    return list(zip(map(_OPSYM.__getitem__, ops[:n].tolist()),
+                    cnts[:n].tolist()))
 
 
 def bwt_invert_native(bwt: np.ndarray, sentinel: int) -> Optional[np.ndarray]:
