@@ -45,9 +45,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--nCandidates", type=int, default=10)
     ap.add_argument("--bestn", type=int, default=10)
     ap.add_argument("--maxScore", type=int, default=-200)
-    ap.add_argument("--minAlnLength", type=int, default=0)
-    ap.add_argument("--minPctSimilarity", type=float, default=0.0)
-    ap.add_argument("--minPctAccuracy", type=float, default=0.0)
+    # filter options + the reference's aliases (RegisterFilterOptions.h)
+    ap.add_argument("--minAlnLength", "--minAlignLength", "--minLength",
+                    dest="minAlnLength", type=int, default=0)
+    ap.add_argument("--minPctSimilarity", "--minPctIdentity",
+                    dest="minPctSimilarity", type=float, default=0.0)
+    ap.add_argument("--minPctAccuracy", "--minAccuracy",
+                    dest="minPctAccuracy", type=float, default=0.0)
+    ap.add_argument("--scoreCutoff", type=int, default=None,
+                    help="alias of --maxScore (enables the score filter)")
+    ap.add_argument("--scoreSign", type=int, default=-1, choices=[-1, 1],
+                    help="-1: lower scores are better (the only supported "
+                         "sign; +1 is rejected loudly)")
     ap.add_argument("--hitPolicy", default="all",
                     choices=["all", "allbest", "random", "randombest", "leftmost"])
     ap.add_argument("--randomSeed", type=int, default=0)
@@ -241,8 +250,10 @@ def params_from_args(args) -> MappingParams:
         advance_exact_matches=args.advanceExactMatches,
         n_candidates=args.nCandidates,
         n_best=args.bestn,
-        max_score=args.maxScore,
-        use_score_cutoff=args.maxScore != -200,
+        max_score=(args.scoreCutoff if args.scoreCutoff is not None
+                   else args.maxScore),
+        use_score_cutoff=(args.scoreCutoff is not None
+                          or args.maxScore != -200),
         min_aln_length=args.minAlnLength,
         min_pct_similarity=args.minPctSimilarity,
         min_pct_accuracy=args.minPctAccuracy,
@@ -294,6 +305,10 @@ def run(argv: Optional[List[str]] = None) -> int:
     if args.globalChainType != 0:
         sys.stderr.write("ERROR: --globalChainType != 0 is not supported "
                          "by blasr_tpu\n")
+        return 1
+    if args.scoreSign != -1:
+        sys.stderr.write("ERROR: --scoreSign 1 (higher-is-better scores) "
+                         "is not supported by blasr_tpu\n")
         return 1
     params = params_from_args(args)
     # persistent compile cache: repeat invocations with the same shapes

@@ -216,3 +216,30 @@ def test_cli_rejects_unsupported(tmp_path):
     assert run(args + ["--nowarp"]) == 1
     assert run(args + ["--globalChainType", "1"]) == 1
     assert run(args) == 0
+
+
+def test_cli_filter_aliases_and_score_sign(tmp_path):
+    """RegisterFilterOptions aliases (--minAlignLength/--minLength/
+    --minPctIdentity/--minAccuracy/--scoreCutoff) parse and act;
+    --scoreSign 1 is rejected loudly."""
+    from blasr_tpu.cli.blasr import run
+    from blasr_tpu.io.fasta import write_fasta
+    contigs = random_genome(30_000, seed=61)
+    read = FastaRecord("al/1/0_400", contigs[0].seq[4000:4400].copy())
+    write_fasta(tmp_path / "g.fa", contigs)
+    write_fasta(tmp_path / "r.fa", [read])
+    base = [str(tmp_path / "r.fa"), str(tmp_path / "g.fa"), "-m", "4"]
+    o1 = tmp_path / "a.m4"
+    assert run(base + ["--minAlignLength", "100", "--out", str(o1)]) == 0
+    assert len(open(o1).read().splitlines()) == 1
+    o2 = tmp_path / "b.m4"
+    assert run(base + ["--minLength", "500", "--out", str(o2)]) == 0
+    assert open(o2).read() == ""          # 400 bp alignment filtered
+    o3 = tmp_path / "c.m4"
+    assert run(base + ["--minPctIdentity", "99.9", "--minAccuracy", "99.9",
+                       "--out", str(o3)]) == 0
+    assert len(open(o3).read().splitlines()) == 1  # exact read passes
+    o4 = tmp_path / "d.m4"
+    assert run(base + ["--scoreCutoff", "-100000", "--out", str(o4)]) == 0
+    assert open(o4).read() == ""          # cutoff stricter than any score
+    assert run(base + ["--scoreSign", "1", "--out", str(o4)]) == 1

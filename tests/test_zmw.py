@@ -110,3 +110,51 @@ def test_concordant_mini_index_padded_to_tiers():
     assert (a.genome[5000 + 2 * 16:] == 4).all() or True
     assert a.keys_sorted[-1] == np.uint32(0xFFFFFFFF)
     assert a.seqdb.lengths[-1] == 0
+
+
+def test_cli_bam_concordant(tmp_path):
+    """ctest/bamConcordant.t analog: unaligned BAM subreads of one ZMW
+    map concordantly to the template's window via the CLI, with QV tags
+    surviving the BAM read path."""
+    import numpy as np
+    from blasr_tpu.cli.blasr import run
+    from blasr_tpu.io.bam import BamRecord, BamWriter
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.sim import mutate, random_genome
+    rng = np.random.default_rng(171)
+    contigs = random_genome(60_000, seed=170)
+    g = contigs[0].seq
+    ts, te = 20_000, 20_700
+    insert = g[ts:te]
+    recs = []
+    pos = 0
+    for p in range(3):
+        frag = insert if p % 2 == 0 else revcomp(insert)
+        sub = mutate(frag, rng, 0.03, 0.06, 0.04)
+        qv = "".join(chr(20 + 33) for _ in range(len(sub)))
+        recs.append(BamRecord(
+            qname=f"mv/5/{pos}_{pos + len(sub)}", flag=4, ref_id=-1,
+            pos=-1, mapq=255, cigar=[], seq=sub,
+            qual=np.full(len(sub), 25), tags={"iq": qv, "dq": qv}))
+        pos += len(sub) + 40
+    bam = tmp_path / "subreads.bam"
+    with open(bam, "wb") as f:
+        w = BamWriter(f, "@HD\tVN:1.5\n", [], [])
+        for r in recs:
+            w.write_record(r)
+        w.close()
+    write_fasta(tmp_path / "g.fa", contigs)
+    out = tmp_path / "out.m4"
+    assert run([str(bam), str(tmp_path / "g.fa"), "-m", "4",
+                "--concordant", "--bestn", "1",
+                "--out", str(out)]) == 0
+    lines = open(out).read().splitlines()
+    assert len(lines) == 3, lines
+    for ln in lines:
+        f = ln.split()
+        # every subread lands on the template insert (within flank);
+        # m4 reports RC target coordinates when tstrand == 1
+        t0, t1, tlen = int(f[9]), int(f[10]), int(f[11])
+        if f[8] == "1":
+            t0, t1 = tlen - t1, tlen - t0
+        assert abs(t0 - ts) < 800 and abs(t1 - te) < 800, ln
