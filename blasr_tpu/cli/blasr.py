@@ -22,10 +22,39 @@ from blasr_tpu.pipeline.map_read import Mapper
 from blasr_tpu.pipeline.select import select_alignments, store_map_qvs, zmw_rand_int
 
 
+_DISCUSSION = """\
+Input: reads may be FASTA, FASTQ, unaligned BAM, bax/ccs.h5, DataSet XML
+or a FOFN of those; the genome is a (multi-)FASTA.  Precomputed indexes
+(--sa from sawriter, --bwt from sa2bwt, --ctab from printTupleCountTable)
+skip the on-the-fly build.
+
+Speed/sensitivity levers (RegisterBlasrOptions.h:294-349 semantics):
+  --minMatch      larger seeds are faster but less sensitive
+  --fastMaxInterval / --advanceHalf
+                  less exhaustive interval search, much faster
+  --aggressiveIntervalCut
+                  drop non-promising candidates (ignores ALU echoes)
+  --fastSDP       lighter SDP fragment search
+  --nCandidates / --bestn
+                  how many intervals are aligned / reported
+
+Output: -m 0..5 (stick/summary/XML/vulgar/interval/parsable), --sam or
+--bam, with --clipping none|soft|hard|subread; --unaligned FILE lists
+unmapped reads.  Hit selection: --hitPolicy all|allbest|random|
+randombest|leftmost with per-ZMW deterministic randomness, so output is
+byte-identical at any batch size or host count.
+
+Citation: Chaisson M.J., Tesler G. Mapping single molecule sequencing
+reads using basic local alignment with successive refinement (BLASR).
+BMC Bioinformatics 2012, 13:238."""
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="blasr_tpu",
-        description="TPU-native long-read mapper with BLASR's capabilities")
+        description="TPU-native long-read mapper with BLASR's capabilities",
+        epilog=_DISCUSSION,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("reads", help="reads file (fasta/fastq/fofn)")
     ap.add_argument("genome", help="reference genome fasta")
     ap.add_argument("--out", "-o", default="-", help="output file")
@@ -310,7 +339,28 @@ def run(argv: Optional[List[str]] = None) -> int:
         sys.stderr.write("ERROR: --scoreSign 1 (higher-is-better scores) "
                          "is not supported by blasr_tpu\n")
         return 1
-    params = params_from_args(args)
+    if args.sa and args.bwt:
+        # MakeSane :512-515
+        sys.stderr.write("ERROR, sa and bwt must be used independently.\n")
+        return 1
+    try:
+        params = params_from_args(args)
+    except ValueError as e:
+        sys.stderr.write(f"{e}\n")
+        return 1
+    if args.useQuality:
+        from blasr_tpu.io.fasta import sniff_format
+        for path in expand_file_name_list([args.reads]):
+            try:
+                if sniff_format(path) == "fasta":
+                    # MakeSane :448-453
+                    sys.stderr.write(
+                        "ERROR, you can not use -useQuality option when "
+                        "any of the input reads files are in multi-fasta "
+                        "format.\n")
+                    return 1
+            except (FileNotFoundError, PermissionError):
+                pass
     # persistent compile cache: repeat invocations with the same shapes
     # skip the (remote) XLA compile — the biggest first-run cost
     try:

@@ -184,18 +184,37 @@ class MappingParams:
         # guided-align default band (MappingParameters.h:501-503)
         if p.band_size == 0:
             p.band_size = 16 if p.use_guided_align else 15
+        import sys as _sys
         # hit policy implies randomness seeding
         if p.hit_policy in ("random", "randombest") and not p.use_random_seed:
             p.use_random_seed = False  # seeded from time in reference; we default 0
+        if p.hit_policy in ("random", "randombest") and p.n_best == 1:
+            _sys.stderr.write(
+                "Warning: When attempting to select equivalently scoring "
+                "reads at random\nthe bestn parameter should be greater "
+                "than one.\n")  # MappingParameters.h:470-473
+        # concordant + useCcs: concordant is dropped (MakeSane :476-478)
+        if p.concordant and p.use_ccs:
+            p.concordant = False
         # concordant implies subreads mapped separately against a template
         if p.concordant:
             p.map_subreads_separately = False
         if p.use_ccs_only:
             p.use_ccs = True
+        if p.use_all_subreads_in_ccs:
+            p.use_ccs = True
         if p.n_best > p.n_candidates:
             p.n_candidates = p.n_best
+        if (p.max_match_length != 0
+                and p.max_match_length < p.min_match_length):
+            _sys.stderr.write(
+                "ERROR: maxLCPLength is less than minLCPLength, which "
+                "will result in no hits.\n")  # MakeSane :546-548
+        if p.subsample < 1.0 and p.stride > 1:
+            # reference: hard error (MakeSane :550-553)
+            raise ValueError(
+                "ERROR, subsample and stride must be used independently.")
         if p.subsample < 1.0:
-            # reference: subsampling switches off stride (MakeSane)
             p.start_read = 0
             p.stride = 1
         if p.score_matrix is None:

@@ -243,3 +243,25 @@ def test_cli_filter_aliases_and_score_sign(tmp_path):
     assert run(base + ["--scoreCutoff", "-100000", "--out", str(o4)]) == 0
     assert open(o4).read() == ""          # cutoff stricter than any score
     assert run(base + ["--scoreSign", "1", "--out", str(o4)]) == 1
+
+
+def test_make_sane_reference_interactions(tmp_path, capsys):
+    """MakeSane interaction parity (MappingParameters.h:390-689):
+    subsample+stride error, concordant+ccs drop, sa+bwt error,
+    useQuality+fasta error."""
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        MappingParams(subsample=0.5, stride=2).make_sane()
+    p = MappingParams(concordant=True, use_ccs=True).make_sane()
+    assert not p.concordant
+    from blasr_tpu.cli.blasr import run
+    from blasr_tpu.io.fasta import write_fasta
+    contigs = random_genome(5000, seed=3)
+    write_fasta(tmp_path / "g.fa", contigs)
+    write_fasta(tmp_path / "r.fa",
+                [FastaRecord("q/1/0_200", contigs[0].seq[:200])])
+    base = [str(tmp_path / "r.fa"), str(tmp_path / "g.fa"), "-m", "4",
+            "--out", str(tmp_path / "o.m4")]
+    assert run(base + ["--sa", "x.npz", "--bwt", "y.npz"]) == 1
+    assert run(base + ["--useQuality"]) == 1   # fasta input
+    assert run(base + ["--subsample", "0.5", "--stride", "2"]) == 1
