@@ -6,8 +6,11 @@ reference's KBandAlign / AffineKBandAlign / GuidedAlign / AffineGuidedAlign
 roles (iblasr/BlasrAlignImpl.hpp:1227-1309, BlasrUtilsImpl.hpp:620-903).
 
 Design (v2): the VPU is 8 sublanes x 128 lanes; one grid program advances
-EIGHT alignment items together, one query row at a time, with every vector
-op an (8, 128) full-vreg op:
+ITEMS (default 32) alignment items together, one query row at a time, with
+every vector op an (ITEMS, 128) multi-vreg op.  ITEMS > 8 interleaves
+independent in-row prefix-min chains (the latency bottleneck: 7 dependent
+lane-shift+min steps per row), hiding each chain's latency behind the
+others' issue slots — 32 items measured ~3x faster than 8 on v5e:
 
   * The band offset path is required to advance by s in {0, 1, 2} per query
     row (the host-side offsets builder enforces this).  Aligning row r-1's
@@ -34,6 +37,7 @@ traceback bits is bit-stable, matching kernels/banded.py exactly.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +48,10 @@ from blasr_tpu.kernels.banded import ST_D, ST_I, ST_M, BandedResult
 
 INF = 1e30  # python float: jnp scalars would be captured consts in pallas
 ROWS_PER_STEP = 64
-ITEMS = 8
+# Items advanced together per grid program.  >8 interleaves several
+# independent in-row prefix-min chains (the kernel's latency bottleneck);
+# 32 measured ~3x faster than 8 on v5e.  Env override for experiments.
+ITEMS = int(os.environ.get("BLASR_PALLAS_ITEMS", "32"))
 INTERPRET = False  # set True to run on CPU for testing
 
 
@@ -93,12 +100,21 @@ def _kernel(srb_ref, off_ref, qa_ref, qb_ref, ta_ref, tb_ref, gaps_ref,
     for it in range(1, ITEMS):
         qb_max = jnp.maximum(qb_max, qb_ref[0, 0, it])
 
-    @pl.when((j == 0) | (j * R < qb_max))
+    run = (j == 0) | (j * R < qb_max)
+
+    @pl.when(run)
     def _run():
         _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
                     window_ref, combo_ref, bits_ref,
                     mM_s, mI_s, mD_s, combo_s, bits_buf,
                     R=R, w_b=w_b, tgtw=tgtw)
+
+    # Skipped blocks must still define their bits output (rows >= every
+    # item's qb are inactive => all-zero), so results are bit-identical
+    # at any ITEMS grouping.
+    @pl.when(jnp.logical_not(run))
+    def _skip():
+        bits_ref[0, 0] = jnp.zeros((ITEMS, R, w_b), jnp.uint8)
 
 
 def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,

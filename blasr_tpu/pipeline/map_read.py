@@ -238,7 +238,7 @@ def _band_offsets(mq, mt, ws, L, W, w_b,
                      "max_lcp", "indel_rate", "C_dp", "use_pallas",
                      "p_value_type", "lookback", "aggressive_cut",
                      "advance_exact", "k_sdp", "sdp_occ", "between_only",
-                     "use_hp"),
+                     "use_hp", "profile_stop"),
 )
 def map_batch(
     index: DeviceIndex,
@@ -261,10 +261,17 @@ def map_batch(
     max_lcp: int, indel_rate: float, C_dp: int = 0, use_pallas: bool = False,
     p_value_type: int = 3, lookback: int = 0, aggressive_cut: bool = False,
     advance_exact: int = 0, k_sdp: int = 0, sdp_occ: int = 2,
-    between_only: bool = False, use_hp: bool = False,
+    between_only: bool = False, use_hp: bool = False, profile_stop: int = 0,
 ) -> PackedBatch:
     B = reads.shape[0]
     G = index.genome.shape[0]
+
+    def _stop(*arrs):
+        # dev-only (tools/profile_stages.py): truncate the graph after a
+        # stage so cumulative stage times can be measured on hardware
+        s = sum(jnp.sum(a.astype(jnp.float32)) for a in arrs)
+        z = jnp.zeros((1,), jnp.uint8)
+        return PackedBatch(ints=s.reshape(1, 1, 1), ops=z, clusters=z)
 
     rc = _revcomp_batch(reads, read_len)
     reads2 = jnp.concatenate([reads, rc], axis=0)          # [2B, L]
@@ -277,6 +284,9 @@ def map_batch(
         max_lcp=max_lcp, advance_exact=advance_exact,
         bucket_starts=index.bucket_starts,
         gwords=index.gwords, gnwords=index.gnwords)
+    if profile_stop == 1:
+        return _stop(anchors.hits_t, anchors.q, anchors.t,
+                     anchors.l, anchors.n_total)
 
     # the chain scan emits max(C, 8) intervals: the first C feed the DP
     # path; all of them are recorded as the ClusterList analog so
@@ -317,7 +327,12 @@ def map_batch(
         score=cands_all.score[:, :C], n_anchors=cands_all.n_anchors[:, :C],
         nlogp=cands_all.nlogp[:, :C], valid=cands_all.valid[:, :C],
         end_idx=cands_all.end_idx[:, :C])
+    if profile_stop == 2:
+        return _stop(cands.q_start, cands.q_end, cands.t_start, cands.t_end,
+                     cands.score, cands.valid)
     mq, mt, ml, mvalid = chain_members(cands, anchors, max_chain=max_chain)
+    if profile_stop == 3:
+        return _stop(mq, mt, ml, mvalid)
 
     # candidate compaction: with C_dp == 0 (the default) every candidate
     # slot gets a banded-DP row — the reference aligns every
@@ -437,6 +452,8 @@ def map_batch(
                                  fd2, fo2, between_only)
         offs = offs.at[srows].set(offs_sub)
 
+    if profile_stop == 4:
+        return _stop(offs, windows, qa, qb, ta, tb)
     if use_pallas:
         assert not use_hp, "hp-insertion band requires the XLA kernel"
         from blasr_tpu.kernels.pallas_banded import pallas_banded_align
@@ -454,6 +471,8 @@ def map_batch(
         res = banded_align(
             reads_sel, windows, offs, qa, qb, ta, tb, submat,
             gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3], w_b=w_b)
+    if profile_stop == 5:
+        return _stop(res.score, res.tbbits, res.final_state, res.valid)
     valid_sel = sel_valid & res.valid
 
     # traceback compaction: only the top nCandidates alignments per READ
@@ -482,6 +501,10 @@ def map_batch(
                         valid=sub_tb(res.valid))
     tbk = banded_traceback(res_sub, sub_tb(offs), sub_tb(qa), sub_tb(qb),
                            sub_tb(ta), sub_tb(tb), t_max=T, w_b=w_b)
+
+    if profile_stop == 6:
+        return _stop(tbk.ops, tbk.n_match, tbk.n_mismatch, tbk.n_ins,
+                     tbk.n_del)
 
     def back(v):
         return jnp.zeros((n_dp,), v.dtype).at[tb_rows].set(v)
