@@ -73,7 +73,7 @@ def run(argv: Optional[List[str]] = None) -> int:
     from blasr_tpu.kernels.sdp import sdp_align
     from blasr_tpu.kernels.sw import stick_print, sw_align
     from blasr_tpu.params import default_score_matrix, round_up
-    from blasr_tpu.pipeline.map_read import ops_to_cigar
+    from blasr_tpu.pipeline.map_read import pairs_to_cigar
 
     queries = read_fasta(query_name)
     targets = read_fasta(target_name)
@@ -131,7 +131,7 @@ def run(argv: Optional[List[str]] = None) -> int:
     stats = (None if tbk is None else
              tuple(np.asarray(x) for x in
                    (tbk.n_match, tbk.n_mismatch, tbk.n_ins, tbk.n_del)))
-    ops_np = None if tbk is None else np.asarray(tbk.ops)
+    pairs_np = None if tbk is None else np.asarray(tbk.pairs)
 
     for n, (q, t) in enumerate(pairs):
         if not valid[n]:
@@ -157,7 +157,7 @@ def run(argv: Optional[List[str]] = None) -> int:
         out.write(",".join(map(str, row)) + "\n")
         if showalign and refine and okdp[n]:
             from blasr_tpu.kernels.sw import SWAlignment
-            cigar = ops_to_cigar(_pack2(ops_np[n]))
+            cigar = pairs_to_cigar(pairs_np[n])
             sa = SWAlignment(score=score, q_start=int(qa[n]),
                              q_end=int(qb[n]), t_start=int(ta[n]),
                              t_end=int(tb[n]), cigar=cigar)
@@ -168,14 +168,6 @@ def run(argv: Optional[List[str]] = None) -> int:
                           align_type="local" if local else "global")
             stick_print(sw, q.seq, t.seq, out)
     return 0
-
-
-def _pack2(ops_row: np.ndarray) -> np.ndarray:
-    """uint8 op codes -> 2-bit packed (ops_to_cigar input convention)."""
-    o = np.where(ops_row == 4, 1, ops_row).astype(np.uint32)
-    o4 = o.reshape(-1, 4)
-    return (o4[:, 0] | (o4[:, 1] << 2) | (o4[:, 2] << 4)
-            | (o4[:, 3] << 6)).astype(np.uint8)
 
 
 def main() -> None:

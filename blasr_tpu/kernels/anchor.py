@@ -87,6 +87,9 @@ def find_anchors(
     bucket_starts: jnp.ndarray = None,  # int32 [4^k+1] direct lookup table
     gwords: jnp.ndarray = None,   # uint32 [G] packed 16-base genome words
     gnwords: jnp.ndarray = None,  # uint32 [G] non-ACGT bit pairs
+    pos_records: jnp.ndarray = None,  # uint32 [M, 6] fused per-slot records
+    #                              (DeviceIndex._build_records): one 24-byte
+    #                              row gather replaces 6 scattered gathers
 ) -> Anchors:
     """See module docstring.  Anchor significance: an anchor whose seed
     k-mer occurs n times in an M-position index and extends to length l
@@ -117,14 +120,23 @@ def find_anchors(
     idx = lo[:, :, None] + occ[None, None, :]              # [B, L, O]
     cand_valid = pos_ok[:, :, None] & (occ[None, None, :] < nocc[:, :, None])
     idx = jnp.clip(idx, 0, pos_sorted.shape[0] - 1)
-    t = jnp.take(pos_sorted, idx).astype(jnp.int32)        # [B, L, O]
+    use_rec = (pos_records is not None and gwords is not None
+               and anchor_ext <= 32)
+    if use_rec:
+        rec = jnp.take(pos_records, idx, axis=0)           # [B, L, O, 6]
+        t = rec[..., 0].astype(jnp.int32)
+        gprev = rec[..., 1].astype(jnp.int32)
+    else:
+        rec = None
+        t = jnp.take(pos_sorted, idx).astype(jnp.int32)    # [B, L, O]
     q = jax.lax.broadcasted_iota(jnp.int32, (B, L, O), 1)
 
     # containment prune: if the previous diagonal position also matches,
     # this anchor is inside a longer one (RemoveOverlappingAnchors) —
     # except periodic representatives every E/2 positions, so exact runs
     # longer than the measured extension cap still chain to full span
-    gprev = jnp.take(genome, jnp.clip(t - 1, 0, G - 1)).astype(jnp.int32)
+    if not use_rec:
+        gprev = jnp.take(genome, jnp.clip(t - 1, 0, G - 1)).astype(jnp.int32)
     rprev_2d = jnp.concatenate(
         [jnp.full((B, 1), 4, dtype=jnp.int32), reads[:, :-1].astype(jnp.int32)],
         axis=1)
@@ -155,10 +167,14 @@ def find_anchors(
         allN = jnp.uint32(0xFFFFFFFF)
         for j in range(n_words):
             off = k + 16 * j
-            gidx = jnp.clip(t + off, 0, G - 1)
-            gw_j = jnp.take(gwords, gidx)
-            gn_j = jnp.take(gnwords, gidx)
-            gn_j = jnp.where(t + off < G, gn_j, allN)
+            if use_rec:
+                gw_j = rec[..., 2 + 2 * j]
+                gn_j = rec[..., 3 + 2 * j]
+            else:
+                gidx = jnp.clip(t + off, 0, G - 1)
+                gw_j = jnp.take(gwords, gidx)
+                gn_j = jnp.take(gnwords, gidx)
+                gn_j = jnp.where(t + off < G, gn_j, allN)
             rw_sh = jnp.concatenate(
                 [rw[:, off:], jnp.zeros((B, min(off, L)), jnp.uint32)],
                 axis=1)[:, :L]

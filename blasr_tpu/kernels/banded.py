@@ -36,32 +36,47 @@ import jax.numpy as jnp
 # keeping the fast f32 VPU path.
 INF = jnp.float32(1e30)
 
-# traceback bit layout (uint8 per banded cell)
+# traceback cell word layout (int32 per banded cell)
 #   bits 0-1: source state of M's diagonal predecessor (0=M, 1=I, 2=D)
 #   bit 2   : I opened from M (else extended from I)
 #   bit 3   : D opened at this cell (else extended from D[w-1])
 #   bit 4   : D opened from M (else from I)
 #   bit 5   : read base == target base at this cell
+#   bit 6   : h_open (homopolymer-insertion band opened from M)
+#   bits 7-8:  run-exit state — m_src at the start of this cell's M run
+#   bits 9-18: M-run length (consecutive state-M cells chained by
+#              m_src==M diagonal links, capped at RUN_CAP; the traceback
+#              consumes a whole run per step)
+#   bits 19-28: eq count within the run (matches; run length minus this
+#              is the mismatch count)
 ST_M, ST_I, ST_D = 0, 1, 2
 ST_H = 3  # homopolymer-insertion state (affine hp band; bit 6 = h_open)
+RUN_CAP = 1023  # 10-bit run fields; longer runs chain in segments
 
 
 class BandedResult(NamedTuple):
     score: jnp.ndarray        # float32 [N] (integer-valued)
-    tbbits: jnp.ndarray       # uint8 [N, L, W_b]
+    tbbits: jnp.ndarray       # int32 [N, L, W_b] cell words (layout above)
     final_state: jnp.ndarray  # int32 [N]
     valid: jnp.ndarray        # bool [N] alignment reached the end cell
 
 
 class TracebackResult(NamedTuple):
-    # ops emitted end-first: 0 stop, 1 match, 2 insertion (read base),
-    # 3 deletion (target base), 4 mismatch
-    ops: jnp.ndarray          # uint8 [N, T]
-    n_ops: jnp.ndarray        # int32 [N]
+    """Run-length traceback: (op, count) pairs emitted end-first.
+
+    Each pair is op | count << 2 (op: 0 stop, 1 M columns — matches and
+    mismatches, 2 insertion bases, 3 deletion bases), packed two per
+    int32 word (low half first).  A whole M run is one pair, so pairs
+    scale with the error count, not the read length."""
+
+    pairs: jnp.ndarray        # int32 [N, P//2] packed (op|count<<2) x2
+    n_pairs: jnp.ndarray      # int32 [N]
     n_match: jnp.ndarray      # int32 [N]
     n_mismatch: jnp.ndarray   # int32 [N]
     n_ins: jnp.ndarray        # int32 [N]
     n_del: jnp.ndarray        # int32 [N]
+    overflow: jnp.ndarray     # bool [N]: > P pairs needed (caller reruns
+    #                           with the dense bound t_max = L + W)
 
 
 def _shift(padded_row: jnp.ndarray, k: jnp.ndarray, w_b: int) -> jnp.ndarray:
@@ -105,7 +120,8 @@ def _align_one(
         return m0, jnp.full((w_b,), INF), prof, jnp.full((w_b,), INF)
 
     def step(carry, r):
-        pM, pI, pD, pH, po, fin_score, fin_state, fin_ok = carry
+        (pM, pI, pD, pH, pR, pE, pX, po,
+         fin_score, fin_state, fin_ok) = carry
         o_r = offsets[r]
         active = (r >= qa) & (r < qb)
         first = r == qa
@@ -122,6 +138,10 @@ def _align_one(
         pMp, pIp, pDp = _pad_row(pM_, INF), _pad_row(pI_, INF), _pad_row(pD_, INF)
         dM, dI, dD = (_shift(pMp, s - 1, w_b), _shift(pIp, s - 1, w_b),
                       _shift(pDp, s - 1, w_b))
+        # M-run counters of the diagonal predecessor
+        dR = _shift(_pad_row(pR, 0), s - 1, w_b)
+        dE = _shift(_pad_row(pE, 0), s - 1, w_b)
+        dX = _shift(_pad_row(pX, 0), s - 1, w_b)
         vM, vI = _shift(pMp, s, w_b), _shift(pIp, s, w_b)
         if use_hp:
             pHp = _pad_row(pH_, INF)
@@ -145,11 +165,11 @@ def _align_one(
                 dM <= diag_best, ST_M,
                 jnp.where(dI <= diag_best, ST_I,
                           jnp.where(dD <= diag_best, ST_D,
-                                    ST_H))).astype(jnp.uint8)
+                                    ST_H))).astype(jnp.int32)
         else:
             m_src = jnp.where(
                 dM <= diag_best, ST_M,
-                jnp.where(dI <= diag_best, ST_I, ST_D)).astype(jnp.uint8)
+                jnp.where(dI <= diag_best, ST_I, ST_D)).astype(jnp.int32)
         M = jnp.where(in_t, sub + diag_best, INF)
 
         i_from_m = vM + ins_open
@@ -190,20 +210,37 @@ def _align_one(
         I_prev = jnp.concatenate([jnp.full((1,), INF), I[:-1]])
         d_from_m = M_prev <= I_prev
 
+        # M-run counters for this cell (see cell-word layout above):
+        # a fresh run starts when the diag link is not M-to-M, at the
+        # first row (diag predecessor is the boundary), or at RUN_CAP
+        msrc_i = m_src.astype(jnp.int32)
+        from_m = msrc_i == ST_M
+        fresh = (~from_m) | first | (dR >= RUN_CAP)
+        eq_i = eq.astype(jnp.int32)
+        mrun = jnp.where(fresh, 1, dR + 1)
+        meq = jnp.where(fresh, 0, dE) + eq_i
+        rexit = jnp.where(fresh, jnp.where(from_m, ST_M, msrc_i), dX)
+
         bits = (
-            m_src
-            | (i_open.astype(jnp.uint8) << 2)
-            | (d_open.astype(jnp.uint8) << 3)
-            | (d_from_m.astype(jnp.uint8) << 4)
-            | (eq.astype(jnp.uint8) << 5)
-            | (h_open_bit.astype(jnp.uint8) << 6)
+            msrc_i
+            | (i_open.astype(jnp.int32) << 2)
+            | (d_open.astype(jnp.int32) << 3)
+            | (d_from_m.astype(jnp.int32) << 4)
+            | (eq_i << 5)
+            | (h_open_bit.astype(jnp.int32) << 6)
+            | (rexit << 7)
+            | (mrun << 9)
+            | (meq << 19)
         )
-        bits = jnp.where(active, bits, jnp.uint8(0))
+        bits = jnp.where(active, bits, jnp.int32(0))
 
         nM = jnp.where(active, M, pM)
         nI = jnp.where(active, I, pI)
         nD = jnp.where(active, D, pD)
         nH = jnp.where(active, H, pH)
+        nR = jnp.where(active, mrun, pR)
+        nE = jnp.where(active, meq, pE)
+        nX = jnp.where(active, rexit, pX)
         no = jnp.where(active, o_r, po)
 
         # record final score at row qb-1, cell t = tb-1
@@ -227,14 +264,16 @@ def _align_one(
         fin_state = jnp.where(hit, cstate, fin_state)
         fin_ok = fin_ok | hit
 
-        return (nM, nI, nD, nH, no, fin_score, fin_state, fin_ok), bits
+        return (nM, nI, nD, nH, nR, nE, nX, no,
+                fin_score, fin_state, fin_ok), bits
 
+    zi = jnp.zeros((w_b,), jnp.int32)
     carry0 = (
         jnp.full((w_b,), INF), jnp.full((w_b,), INF), jnp.full((w_b,), INF),
-        jnp.full((w_b,), INF),
+        jnp.full((w_b,), INF), zi, zi, zi,
         jnp.int32(0), INF, jnp.int32(ST_M), jnp.bool_(False),
     )
-    (_, _, _, _, _, score, state, ok), tbbits = jax.lax.scan(
+    (*_, score, state, ok), tbbits = jax.lax.scan(
         step, carry0, jnp.arange(L, dtype=jnp.int32))
     return score, tbbits, state, ok
 
@@ -282,76 +321,111 @@ def banded_align(
     return BandedResult(score, tbbits, state.astype(jnp.int32), ok)
 
 
-def _traceback_one(tbbits, offsets, qa, qb, ta, tb, state0, ok, t_max, w_b):
-    L = tbbits.shape[0]
-    flat = tbbits.reshape(-1)
-
-    def step(carry, _):
-        r, t, st, done = carry
-        at_boundary = r < qa
-        w = t - offsets[jnp.clip(r, 0, L - 1)]
-        w_ok = (w >= 0) & (w < w_b)
-        cell = flat[jnp.clip(r, 0, L - 1) * w_b + jnp.clip(w, 0, w_b - 1)]
-        m_src = (cell & 3).astype(jnp.int32)
-        i_open = (cell >> 2) & 1
-        d_open = (cell >> 3) & 1
-        d_from_m = (cell >> 4) & 1
-        eq = (cell >> 5) & 1
-        h_open = (cell >> 6) & 1
-
-        # boundary: consume remaining leading target bases as deletions
-        # (done once t reaches ta-1, the boundary zero cell)
-        b_more = at_boundary & (t >= ta)
-        b_done = at_boundary & (t < ta)
-
-        is_m = (~at_boundary) & (st == ST_M)
-        is_i = (~at_boundary) & (st == ST_I)
-        is_d = (~at_boundary) & (st == ST_D)
-        is_h = (~at_boundary) & (st == ST_H)
-
-        op = jnp.where(
-            done | b_done, 0,
-            jnp.where(b_more, 3,
-            jnp.where(is_m, jnp.where(eq == 1, 1, 4),
-            jnp.where(is_i | is_h, 2, 3)))).astype(jnp.uint8)
-
-        nr = jnp.where(done | b_done, r,
-             jnp.where(b_more, r,
-             jnp.where(is_m | is_i | is_h, r - 1, r)))
-        nt = jnp.where(done | b_done, t,
-             jnp.where(b_more, t - 1,
-             jnp.where(is_m | is_d, t - 1, t)))
-        nst = jnp.where(is_m, m_src,
-              jnp.where(is_i, jnp.where(i_open == 1, ST_M, ST_I),
-              jnp.where(is_h, jnp.where(h_open == 1, ST_M, ST_H),
-              jnp.where(is_d,
-                        jnp.where(d_open == 1,
-                                  jnp.where(d_from_m == 1, ST_M, ST_I),
-                                  ST_D),
-                        st))))
-        ndone = done | b_done | ((~at_boundary) & ~w_ok)
-        return (nr, nt, nst, ndone), op
-
-    carry0 = (qb - 1, tb - 1, state0, ~ok)
-    # unroll amortizes per-step scan overhead over 8 pointer-chase steps
-    _, ops = jax.lax.scan(step, carry0, None, length=t_max, unroll=8)
-    return ops
+_TB_CHUNK = 64   # RL steps per while_loop iteration
+_CNT_CAP = 16383  # 14-bit pair count (boundary-deletion runs re-loop)
 
 
 @functools.partial(jax.jit, static_argnames=("t_max", "w_b"))
 def banded_traceback(
     result: BandedResult, offsets, qa, qb, ta, tb, *, t_max: int, w_b: int = 128,
 ) -> TracebackResult:
-    f = jax.vmap(_traceback_one,
-                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None))
-    ops = f(result.tbbits, offsets, qa, qb, ta, tb,
-            result.final_state, result.valid, t_max, w_b)
-    n_ops = jnp.sum(ops > 0, axis=1).astype(jnp.int32)
+    """Run-length traceback over the cell words.
+
+    One RL step consumes a whole M run (via the in-cell run counters), a
+    single I/D base, or a whole leading-deletion boundary run, so typical
+    alignments finish in ~2x(indel events) steps instead of one step per
+    alignment column.  A chunked while_loop exits once every row is done;
+    ``t_max`` bounds the emitted pairs (and steps).  Rows needing more
+    pairs report ``overflow`` and callers rerun with t_max = L + W, which
+    can never overflow (every pair consumes >= 1 column)."""
+    tbb = result.tbbits
+    N, L, _ = tbb.shape
+    flat = tbb.reshape(N, L * w_b)
+    P = -(-t_max // (2 * _TB_CHUNK)) * (2 * _TB_CHUNK)
+
+    def rl_step(carry, _):
+        r, t, st, done, nm, nmm, nins, ndel, npairs = carry
+        at_b = r < qa
+        rc = jnp.clip(r, 0, L - 1)
+        w = t - jnp.take_along_axis(offsets, rc[:, None], axis=1)[:, 0]
+        w_ok = (w >= 0) & (w < w_b)
+        idx = rc * w_b + jnp.clip(w, 0, w_b - 1)
+        cell = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+        i_open = (cell >> 2) & 1
+        d_open = (cell >> 3) & 1
+        d_from_m = (cell >> 4) & 1
+        h_open = (cell >> 6) & 1
+        rexit = (cell >> 7) & 3
+        # max(.,1) guards corrupt zero-run cells (can only appear off the
+        # valid path): guarantees progress toward the step bound
+        mrun = jnp.maximum((cell >> 9) & 1023, 1)
+        meq = (cell >> 19) & 1023
+
+        b_more = at_b & (t >= ta)
+        b_done = at_b & (t < ta)
+        is_m = (~at_b) & (st == ST_M)
+        is_i = (~at_b) & ((st == ST_I) | (st == ST_H))
+        is_d = (~at_b) & (st == ST_D)
+        emit = ~(done | b_done)
+
+        b_cnt = jnp.minimum(t - ta + 1, _CNT_CAP)
+        op = jnp.where(~emit, 0,
+             jnp.where(b_more, 3,
+             jnp.where(is_m, 1,
+             jnp.where(is_i, 2, 3))))
+        cnt = jnp.where(b_more, b_cnt,
+              jnp.where(is_m, mrun, 1))
+        pair = jnp.where(emit, op | (cnt << 2), 0)
+
+        nr = jnp.where(emit & (is_m | is_i),
+                       r - jnp.where(is_m, mrun, 1), r)
+        nt = jnp.where(emit,
+                       t - jnp.where(b_more, b_cnt,
+                           jnp.where(is_m, mrun,
+                           jnp.where(is_d, 1, 0))), t)
+        is_h = (~at_b) & (st == ST_H)
+        nst = jnp.where(is_m, rexit,
+              jnp.where(is_h, jnp.where(h_open == 1, ST_M, ST_H),
+              jnp.where(is_i, jnp.where(i_open == 1, ST_M, ST_I),
+              jnp.where(is_d,
+                        jnp.where(d_open == 1,
+                                  jnp.where(d_from_m == 1, ST_M, ST_I),
+                                  ST_D),
+                        st))))
+        nm = nm + jnp.where(emit & is_m, meq, 0)
+        nmm = nmm + jnp.where(emit & is_m, mrun - meq, 0)
+        nins = nins + jnp.where(emit & is_i, 1, 0)
+        ndel = ndel + jnp.where(emit & is_d, 1, 0) \
+            + jnp.where(emit & b_more, b_cnt, 0)
+        npairs = npairs + emit.astype(jnp.int32)
+        ndone = done | b_done | ((~at_b) & ~w_ok & emit)
+        return (nr, nt, nst, ndone, nm, nmm, nins, ndel, npairs), pair
+
+    z = jnp.zeros((N,), jnp.int32)
+
+    def chunk_cond(state):
+        s0, carry, buf = state
+        return (s0 < P) & jnp.any(~carry[3])
+
+    def chunk_body(state):
+        s0, carry, buf = state
+        carry, pairs = jax.lax.scan(rl_step, carry, None, length=_TB_CHUNK)
+        buf = jax.lax.dynamic_update_slice(buf, pairs.T, (0, s0))
+        return s0 + _TB_CHUNK, carry, buf
+
+    carry0 = (qb - 1, tb - 1, result.final_state, ~result.valid,
+              z, z, z, z, z)
+    buf0 = jnp.zeros((N, P), jnp.int32)
+    _, carry, buf = jax.lax.while_loop(
+        chunk_cond, chunk_body, (0, carry0, buf0))
+    done = carry[3]
+    packed = buf[:, 0::2] | (buf[:, 1::2] << 16)
     return TracebackResult(
-        ops=ops,
-        n_ops=n_ops,
-        n_match=jnp.sum(ops == 1, axis=1).astype(jnp.int32),
-        n_mismatch=jnp.sum(ops == 4, axis=1).astype(jnp.int32),
-        n_ins=jnp.sum(ops == 2, axis=1).astype(jnp.int32),
-        n_del=jnp.sum(ops == 3, axis=1).astype(jnp.int32),
+        pairs=packed,
+        n_pairs=carry[8],
+        n_match=carry[4],
+        n_mismatch=carry[5],
+        n_ins=carry[6],
+        n_del=carry[7],
+        overflow=~done,
     )

@@ -28,7 +28,8 @@ others' issue slots — 32 items measured ~3x faster than 8 on v5e:
     with a general 5x5 --scoreMatrix fall back to the XLA kernel.
   * Final (score, state) are captured in a score*4+state combo vector and
     min-reduced on the host side; traceback bits accumulate in an int32
-    scratch tile, flushed to uint8 once per row block.
+    scratch tile, flushed once per row block (int32 cell words
+    carrying traceback bits + M-run counters, kernels/banded.py layout).
 
 Costs are integer-valued f32 (exact < 2^24), so every compare used for
 traceback bits is bit-stable, matching kernels/banded.py exactly.
@@ -76,7 +77,7 @@ def _sl(x, n, fill):
 def _kernel(srb_ref, off_ref, qa_ref, qb_ref, ta_ref, tb_ref, gaps_ref,
             window_ref,
             combo_ref, bits_ref,
-            mM_s, mI_s, mD_s, combo_s, bits_buf,
+            mM_s, mI_s, mD_s, combo_s, mcnt_s, bits_buf,
             *, R: int, w_b: int, tgtw: int):
     j = pl.program_id(1)
 
@@ -86,6 +87,7 @@ def _kernel(srb_ref, off_ref, qa_ref, qb_ref, ta_ref, tb_ref, gaps_ref,
         mI_s[...] = jnp.full((ITEMS, w_b), INF)
         mD_s[...] = jnp.full((ITEMS, w_b), INF)
         combo_s[...] = jnp.full((ITEMS, w_b), INF)
+        mcnt_s[...] = jnp.zeros((ITEMS, w_b), jnp.int32)
 
     # per-block constants
     qa_v = _vec8([qa_ref[0, 0, it] for it in range(ITEMS)])
@@ -106,7 +108,7 @@ def _kernel(srb_ref, off_ref, qa_ref, qb_ref, ta_ref, tb_ref, gaps_ref,
     def _run():
         _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
                     window_ref, combo_ref, bits_ref,
-                    mM_s, mI_s, mD_s, combo_s, bits_buf,
+                    mM_s, mI_s, mD_s, combo_s, mcnt_s, bits_buf,
                     R=R, w_b=w_b, tgtw=tgtw)
 
     # Skipped blocks must still define their bits output (rows >= every
@@ -114,12 +116,12 @@ def _kernel(srb_ref, off_ref, qa_ref, qb_ref, ta_ref, tb_ref, gaps_ref,
     # at any ITEMS grouping.
     @pl.when(jnp.logical_not(run))
     def _skip():
-        bits_ref[0, 0] = jnp.zeros((ITEMS, R, w_b), jnp.uint8)
+        bits_ref[0, 0] = jnp.zeros((ITEMS, R, w_b), jnp.int32)
 
 
 def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
                 window_ref, combo_ref, bits_ref,
-                mM_s, mI_s, mD_s, combo_s, bits_buf,
+                mM_s, mI_s, mD_s, combo_s, mcnt_s, bits_buf,
                 *, R: int, w_b: int, tgtw: int):
     wlen = window_ref.shape[2]
     ins_open = gaps_ref[0, 0]
@@ -149,8 +151,8 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
     ).astype(jnp.float32)
 
     def row(r2, carry, srb):
-        # srb: (8, 1) packed s*8+rb for this row
-        mM, mI, mD, tgt2, t_abs, combo = carry
+        # srb: (ITEMS, 1) packed s*8+rb for this row
+        mM, mI, mD, mcnt, tgt2, t_abs, combo = carry
         r = j * R + r2
         s_v = srb >> 3
         rb = srb & 7
@@ -223,11 +225,33 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
         d_open = D >= base_prev + del_open
         d_from_m = _sr1(M, INF) <= _sr1(I, INF)
 
+        # M-run counters (cell-word layout: kernels/banded.py): packed in
+        # mcnt as rexit | mrun<<2 | meq<<12; diagonal predecessor via the
+        # same 3-way shift select as the score rows, fill 0
+        def sel_d0(x):
+            return jnp.where(m0, _sr1(x, 0),
+                             jnp.where(m1, x, _sl(x, 1, 0)))
+
+        d_cnt = sel_d0(mcnt)
+        dX = d_cnt & 3
+        dR = (d_cnt >> 2) & 1023
+        dE = (d_cnt >> 12) & 1023
+        from_m = m_src == ST_M
+        fresh = (~from_m) | first | (dR >= 1023)
+        eq_i = eq.astype(jnp.int32)
+        mrun = jnp.where(fresh, 1, dR + 1)
+        meq = jnp.where(fresh, 0, dE) + eq_i
+        rexit = jnp.where(fresh, jnp.where(from_m, ST_M, m_src), dX)
+        mcnt = jnp.where(active, rexit | (mrun << 2) | (meq << 12), mcnt)
+
         bits = (m_src
                 | (i_open.astype(jnp.int32) << 2)
                 | (d_open.astype(jnp.int32) << 3)
                 | (d_from_m.astype(jnp.int32) << 4)
-                | (eq.astype(jnp.int32) << 5))
+                | (eq_i << 5)
+                | (rexit << 7)
+                | (mrun << 9)
+                | (meq << 19))
         bits = jnp.where(active, bits, 0)
         bits_buf[:, pl.ds(r2, 1), :] = bits[:, None, :]
 
@@ -243,7 +267,7 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
         mM = jnp.where(active, M, mM)
         mI = jnp.where(active, I, mI)
         mD = jnp.where(active, D, mD)
-        return mM, mI, mD, tgt2, t_abs, combo
+        return mM, mI, mD, mcnt, tgt2, t_abs, combo
 
     def row4(r4, carry):
         # one (8,1) construct serves four rows: srb words pack 4 bytes
@@ -252,14 +276,17 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
             carry = row(r4 * 4 + k, carry, (srb_w >> (8 * k)) & 0xFF)
         return carry
 
-    carry0 = (mM_s[...], mI_s[...], mD_s[...], tgt2, t_abs, combo_s[...])
-    mM, mI, mD, _, _, combo = jax.lax.fori_loop(0, R // 4, row4, carry0)
+    carry0 = (mM_s[...], mI_s[...], mD_s[...], mcnt_s[...], tgt2, t_abs,
+              combo_s[...])
+    mM, mI, mD, mcnt, _, _, combo = jax.lax.fori_loop(
+        0, R // 4, row4, carry0)
     mM_s[...] = mM
     mI_s[...] = mI
     mD_s[...] = mD
+    mcnt_s[...] = mcnt
     combo_s[...] = combo
     combo_ref[0] = combo
-    bits_ref[0, 0] = bits_buf[...].astype(jnp.uint8)
+    bits_ref[0, 0] = bits_buf[...]
 
 
 def slope_limit_offsets(offs: jnp.ndarray, w_b: int) -> jnp.ndarray:
@@ -331,6 +358,7 @@ def pallas_banded_align(
             pltpu.VMEM((ITEMS, w_b), jnp.float32),
             pltpu.VMEM((ITEMS, w_b), jnp.float32),
             pltpu.VMEM((ITEMS, w_b), jnp.float32),
+            pltpu.VMEM((ITEMS, w_b), jnp.int32),
             pltpu.VMEM((ITEMS, R, w_b), jnp.int32),
         ],
         in_specs=[
@@ -364,7 +392,7 @@ def pallas_banded_align(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((N8, ITEMS, w_b), jnp.float32),
-            jax.ShapeDtypeStruct((N8, J, ITEMS, R, w_b), jnp.uint8),
+            jax.ShapeDtypeStruct((N8, J, ITEMS, R, w_b), jnp.int32),
         ],
     )(srb, off_t,
       qa.reshape(N8, 1, ITEMS), qb.reshape(N8, 1, ITEMS),

@@ -138,6 +138,82 @@ def sdp_align(
         valid=ok, mq=mq, mt=mt, ml=ml)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "occ", "D", "w_b"))
+def window_fragment_diags_banded(
+    rkeys: jnp.ndarray,    # uint32 [N, L] query k-mer keys (k = sdpTupleSize)
+    rvalid: jnp.ndarray,   # bool [N, L]
+    windows: jnp.ndarray,  # int8 [N, W] candidate genome windows
+    wlens: jnp.ndarray,    # int32 [N]
+    offs: jnp.ndarray,     # int32 [N, L] anchors-only band offsets (guide)
+    *,
+    k: int,
+    occ: int,
+    D: int = 512,
+    w_b: int = 128,
+):
+    """Diagonal-banded SDP fragment match (between-anchor SDPAlign,
+    iblasr/BlasrAlignImpl.hpp:902-909): for every query position, up to
+    ``occ`` window positions whose k-mer matches exactly, searched within
+    a D-diagonal window centered on the chain-interpolated guide path.
+
+    Rationale: the consumer (_band_offsets) gates fragments to within
+    +-band of the flanking chain diagonals anyway, so a diag-local search
+    loses nothing it would keep — and it replaces the per-row k-mer sort +
+    vmapped binary search (the two most expensive ops in the pipeline,
+    ~60 ms/batch on v5e) with D static shifted compares (~10 ms).  Ties
+    resolve to the lowest diagonal (nearest the path from below), not the
+    lowest window position as the sort-based variant did.
+
+    Returns (diag, valid): diag = w_pos - q_pos in window coords,
+    [N, L, occ].
+    """
+    N, L = rkeys.shape
+    W = windows.shape[1]
+    assert occ in (1, 2), occ
+    wkeys, wval = read_kmer_keys(windows, wlens, k)
+    INVALID = jnp.uint32(0xFFFFFFFF)
+    wkey_m = jnp.where(wval, wkeys, INVALID)
+
+    # per-row diagonal window [dlo, dlo + D): covers the interpolated
+    # guide diag range when drift + 2*w_b slack fits in D, else centered
+    q = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)
+    diag_c = offs + (w_b // 2) - q                  # interpolated center
+    dmin = jnp.min(diag_c, axis=1)
+    dmax = jnp.max(diag_c, axis=1)
+    dlo = jnp.clip((dmin + dmax) // 2 - D // 2, -(L + D), W)
+
+    # wslice[n, j] = wkey_m[n, dlo_n + j], j in [0, L + D)
+    PAD = L + D
+    wpad = jnp.concatenate([
+        jnp.full((N, PAD), INVALID, jnp.uint32), wkey_m,
+        jnp.full((N, PAD), INVALID, jnp.uint32)], axis=1)
+    wslice = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (L + D)))(
+        wpad, dlo + PAD)
+
+    rk_m = jnp.where(rvalid, rkeys, jnp.uint32(0xFFFFFFFE))
+
+    def body(s, carry):
+        v0, d0, v1, d1 = carry
+        eq = rk_m == jax.lax.dynamic_slice_in_dim(wslice, s, L, axis=1)
+        d_s = (dlo + s)[:, None]
+        take0 = eq & ~v0
+        d0 = jnp.where(take0, jnp.broadcast_to(d_s, d0.shape), d0)
+        v0 = v0 | eq
+        if occ > 1:
+            take1 = eq & ~take0 & ~v1
+            d1 = jnp.where(take1, jnp.broadcast_to(d_s, d1.shape), d1)
+            v1 = v1 | (eq & ~take0)
+        return v0, d0, v1, d1
+
+    z = jnp.zeros((N, L), jnp.int32)
+    f = jnp.zeros((N, L), bool)
+    v0, d0, v1, d1 = jax.lax.fori_loop(0, D, body, (f, z, f, z))
+    if occ == 1:
+        return d0[:, :, None], v0[:, :, None]
+    return (jnp.stack([d0, d1], axis=2), jnp.stack([v0, v1], axis=2))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "occ"))
 def window_fragment_diags(
     rkeys: jnp.ndarray,    # uint32 [N, L] query k-mer keys (k = sdpTupleSize)

@@ -57,9 +57,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.bwt_invert_u8.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.c_uint8, ctypes.POINTER(ctypes.c_uint8)]
-            lib.cigar_from_packed.restype = ctypes.c_int64
-            lib.cigar_from_packed.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            lib.cigar_from_pairs.restype = ctypes.c_int64
+            lib.cigar_from_pairs.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
             _lib = lib
@@ -93,23 +93,24 @@ _OPSYM = {1: "M", 2: "I", 3: "D", 4: "X"}
 _scratch = threading.local()
 
 
-def cigar_native(packed: np.ndarray, allow_adjacent: bool):
-    """CIGAR runs from 2-bit packed end-first ops; None if the extension
-    is unavailable.  Returns [(op_char, count), ...] in alignment order,
-    adjacent I/D pairs folded into 'X' unless allow_adjacent."""
+def cigar_native(words: np.ndarray, allow_adjacent: bool):
+    """CIGAR runs from RL traceback pair words (int32, two op|count<<2
+    uint16 halves each, end-first); None if the extension is unavailable.
+    Returns [(op_char, count), ...] in alignment order, adjacent I/D pairs
+    folded into 'X' unless allow_adjacent."""
     lib = _lib if _lib is not None else get_lib()
-    if lib is None or not hasattr(lib, "cigar_from_packed"):
+    if lib is None or not hasattr(lib, "cigar_from_pairs"):
         return None
-    p = np.ascontiguousarray(packed, dtype=np.uint8)
-    max_runs = p.size * 4 + 1
+    p = np.ascontiguousarray(words, dtype=np.int32)
+    max_runs = p.size * 2 + 1
     bufs = getattr(_scratch, "bufs", None)
     if bufs is None or bufs[0].size < max_runs:
         bufs = (np.empty(max_runs, dtype=np.uint8),
                 np.empty(max_runs, dtype=np.int32))
         _scratch.bufs = bufs
     ops, cnts = bufs
-    n = lib.cigar_from_packed(
-        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    n = lib.cigar_from_pairs(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.c_int64(p.size), ctypes.c_int(1 if allow_adjacent else 0),
         ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -155,31 +155,32 @@ int bwt_invert_u8(const uint8_t* bwt, int64_t n, uint8_t sentinel,
     return 0;
 }
 
-// CIGAR assembly from 2-bit packed traceback ops (host collect hot path).
-// packed: nbytes bytes, 4 ops each (LSB-first), emitted end-first by the
-// device traceback; op codes 0 stop, 1 M, 2 I, 3 D.  Decodes, reverses to
-// alignment order, run-length encodes, and (unless allow_adjacent) folds
-// adjacent I/D pairs into mismatch columns ('X' runs), matching the
-// Python ops_to_cigar + merge_adjacent_indels semantics exactly.
+// CIGAR assembly from run-length traceback pairs (host collect hot path).
+// words: nwords int32 values, each holding two uint16 halves (low half
+// first); each half = op | count << 2, emitted end-first by the device
+// traceback; op codes 0 stop, 1 M, 2 I, 3 D.  Decodes, reverses to
+// alignment order, coalesces adjacent same-op pairs, and (unless
+// allow_adjacent) folds adjacent I/D pairs into mismatch columns ('X'
+// runs), matching the Python pairs_to_cigar + merge_adjacent_indels
+// semantics exactly.
 // out_ops: 1 M, 2 I, 3 D, 4 X.  Returns the run count, or -1 on overflow.
-int64_t cigar_from_packed(const uint8_t* packed, int64_t nbytes,
-                          int allow_adjacent,
-                          uint8_t* out_ops, int32_t* out_counts,
-                          int64_t max_runs) {
-    // decode end-first ops, skip stops, build runs in reverse order
+int64_t cigar_from_pairs(const uint32_t* words, int64_t nwords,
+                         int allow_adjacent,
+                         uint8_t* out_ops, int32_t* out_counts,
+                         int64_t max_runs) {
+    // decode end-first pairs, stop at op 0, build runs in reverse order
     std::vector<uint8_t> ops;
     std::vector<int32_t> cnt;
-    for (int64_t b = 0; b < nbytes; b++) {
-        uint8_t byte = packed[b];
-        for (int k = 0; k < 4; k++) {
-            uint8_t op = (byte >> (2 * k)) & 3;
-            if (op == 0) continue;
-            if (!ops.empty() && ops.back() == op) {
-                cnt.back()++;
-            } else {
-                ops.push_back(op);
-                cnt.push_back(1);
-            }
+    for (int64_t i = 0; i < 2 * nwords; i++) {
+        uint32_t h = (i & 1) ? (words[i >> 1] >> 16) : (words[i >> 1] & 0xFFFF);
+        uint8_t op = (uint8_t)(h & 3);
+        if (op == 0) break;
+        int32_t c = (int32_t)(h >> 2);
+        if (!ops.empty() && ops.back() == op) {
+            cnt.back() += c;
+        } else {
+            ops.push_back(op);
+            cnt.push_back(c);
         }
     }
     // reverse to alignment order

@@ -41,6 +41,30 @@ class DeviceIndex(NamedTuple):
     bucket_starts: Optional[jnp.ndarray] = None  # int32 [4^k+1] direct LUT
     gwords: Optional[jnp.ndarray] = None   # uint32 [G] packed 16-base words
     gnwords: Optional[jnp.ndarray] = None  # uint32 [G] non-ACGT bit pairs
+    # per-SA-slot gather records [M, 6] uint32: (t, genome[t-1],
+    # gwords[t+k], gnwords[t+k], gwords[t+k+16], gnwords[t+k+16]) — one
+    # contiguous 24-byte row replaces 6 scattered 4-byte gathers in the
+    # anchor hot path (random HBM accesses fetch a line either way)
+    pos_records: Optional[jnp.ndarray] = None
+
+    # build records only while the HBM cost (24 B/slot) stays modest;
+    # beyond this find_anchors falls back to the separate gathers
+    RECORDS_MAX_SLOTS = 1 << 26
+
+    @staticmethod
+    def _build_records(genome, pos_sorted, gw, gn, k: int):
+        G = genome.shape[0]
+        pos = pos_sorted
+        recs = [pos.astype(jnp.uint32),
+                jnp.take(genome, jnp.clip(pos - 1, 0, G - 1)
+                         ).astype(jnp.uint32)]
+        allN = jnp.uint32(0xFFFFFFFF)
+        for j in range(2):
+            off = k + 16 * j
+            gidx = jnp.clip(pos + off, 0, G - 1)
+            recs.append(jnp.take(gw, gidx))
+            recs.append(jnp.where(pos + off < G, jnp.take(gn, gidx), allN))
+        return jnp.stack(recs, axis=1)
 
     @staticmethod
     def from_host(gi: GenomeIndex) -> "DeviceIndex":
@@ -52,33 +76,42 @@ class DeviceIndex(NamedTuple):
         sentinel = np.full(1, 4, dtype=gi.genome.dtype)
         gsent = np.concatenate([sentinel, gi.genome])
         gw, gn = build_packed_words(gsent)
+        genome_d = jnp.asarray(gsent)
+        pos_d = jnp.asarray(gi.pos_sorted) + 1
+        gw_d, gn_d = jnp.asarray(gw), jnp.asarray(gn)
+        records = None
+        if pos_d.shape[0] <= DeviceIndex.RECORDS_MAX_SLOTS:
+            records = DeviceIndex._build_records(
+                genome_d, pos_d, gw_d, gn_d, gi.k)
         return DeviceIndex(
-            genome=jnp.asarray(gsent),
+            genome=genome_d,
             keys_sorted=jnp.asarray(gi.keys_sorted),
-            pos_sorted=jnp.asarray(gi.pos_sorted) + 1,
+            pos_sorted=pos_d,
             contig_starts=jnp.asarray(gi.seqdb.starts, dtype=jnp.int32) + 1,
             contig_ends=jnp.asarray(
                 gi.seqdb.starts + gi.seqdb.lengths, dtype=jnp.int32) + 1,
             k=gi.k,
             bucket_starts=(jnp.asarray(gi.bucket_starts)
                            if gi.bucket_starts is not None else None),
-            gwords=jnp.asarray(gw),
-            gnwords=jnp.asarray(gn),
+            gwords=gw_d,
+            gnwords=gn_d,
+            pos_records=records,
         )
 
 
 # column indices of PackedBatch.ints
 (COL_VALID, COL_QA, COL_QB, COL_TS, COL_TE, COL_NMATCH, COL_NMIS, COL_NINS,
  COL_NDEL, COL_DPSLOT, COL_SCORE, COL_CHSCORE, COL_CHANCH, COL_NANCH,
- COL_CVALID) = range(15)
-N_COLS = 15
+ COL_CVALID, COL_OVF) = range(16)
+N_COLS = 16
 
 
 class PackedBatch(NamedTuple):
     """Device-side result of map_batch, packed for cheap host transfer."""
 
     ints: jnp.ndarray       # int32 [2B, C, N_COLS] columns per COL_*
-    ops: jnp.ndarray        # uint8 [N_dp, T/4] 2-bit-packed end-first ops
+    ops: jnp.ndarray        # int32 [N_tb, P/2] RL traceback pairs
+    #                         (kernels.banded.TracebackResult.pairs)
     clusters: jnp.ndarray   # int32 [2B, C_stat, 2] (chain weight, gate ok):
     #                         the ClusterList analog, deeper than C so
     #                         numSignificantClusters can exceed nCandidates
@@ -102,7 +135,7 @@ class BatchResult(NamedTuple):
     n_mismatch: np.ndarray
     n_ins: np.ndarray
     n_del: np.ndarray
-    ops: np.ndarray         # uint8 [N_dp, T/4]
+    ops: np.ndarray         # int32 [N_tb, P/2] RL traceback pairs
     dp_slot: np.ndarray     # [2B, C] row into ops, -1 if not aligned
     chain_score: np.ndarray   # [2B, C] anchor-chain weight
     chain_anchors: np.ndarray  # [2B, C]
@@ -112,6 +145,8 @@ class BatchResult(NamedTuple):
     cluster_bases: np.ndarray  # [2B, C_stat] chain weight per examined
     #                            cluster (ClusterList.numBases analog)
     cluster_valid: np.ndarray  # bool [2B, C_stat]
+    overflow: np.ndarray       # bool [2B, C]: traceback pair capacity
+    #                            exceeded — rerun the batch with tb_cap=T
 
 
 def unpack_batch(pb: PackedBatch) -> BatchResult:
@@ -123,7 +158,7 @@ def unpack_batch(pb: PackedBatch) -> BatchResult:
         n_c = int(np.prod(pb.clusters.shape))
         ints = buf[:n_i].reshape(pb.ints.shape)
         clusters = buf[n_i:n_i + n_c].reshape(pb.clusters.shape)
-        ops = buf[n_i + n_c:].view(np.uint8).reshape(pb.ops.shape)
+        ops = buf[n_i + n_c:].reshape(pb.ops.shape)
     else:
         ints = np.asarray(pb.ints)
         ops = np.asarray(pb.ops)
@@ -137,6 +172,7 @@ def unpack_batch(pb: PackedBatch) -> BatchResult:
         chain_anchors=c[12], n_anchors=c[13][:, 0], chain_valid=c[14] > 0,
         cluster_bases=clusters[..., 0].astype(np.float32),
         cluster_valid=clusters[..., 1] > 0,
+        overflow=c[15] > 0,
     )
 
 
@@ -238,7 +274,7 @@ def _band_offsets(mq, mt, ws, L, W, w_b,
                      "max_lcp", "indel_rate", "C_dp", "use_pallas",
                      "p_value_type", "lookback", "aggressive_cut",
                      "advance_exact", "k_sdp", "sdp_occ", "between_only",
-                     "use_hp", "profile_stop"),
+                     "use_hp", "profile_stop", "tb_cap"),
 )
 def map_batch(
     index: DeviceIndex,
@@ -262,6 +298,10 @@ def map_batch(
     p_value_type: int = 3, lookback: int = 0, aggressive_cut: bool = False,
     advance_exact: int = 0, k_sdp: int = 0, sdp_occ: int = 2,
     between_only: bool = False, use_hp: bool = False, profile_stop: int = 0,
+    tb_cap: int = 0,
+    # traceback pair capacity: 0 = T//4 (covers ~2x(indel events)+2 pairs
+    # with wide margin; overflowing rows are flagged and the host reruns
+    # the batch with tb_cap=T, which cannot overflow)
 ) -> PackedBatch:
     B = reads.shape[0]
     G = index.genome.shape[0]
@@ -283,7 +323,8 @@ def map_batch(
         min_match=min_match, max_anchors_per_pos=max_anchors_per_pos,
         max_lcp=max_lcp, advance_exact=advance_exact,
         bucket_starts=index.bucket_starts,
-        gwords=index.gwords, gnwords=index.gnwords)
+        gwords=index.gwords, gnwords=index.gnwords,
+        pos_records=index.pos_records)
     if profile_stop == 1:
         return _stop(anchors.hits_t, anchors.q, anchors.t,
                      anchors.l, anchors.n_total)
@@ -402,6 +443,8 @@ def map_batch(
     reads_sel = jnp.take(reads2, read_row, axis=0)           # [N_dp, L]
     qa = qa0 - head
     qb = jnp.maximum(jnp.minimum(qb0 + tail, rlen_sel), qa + 1)
+    if profile_stop == 40:
+        return _stop(windows, reads_sel, qa, qb, ta, tb)
 
     # SDP guide densification (the reference always SDP-aligns candidate
     # intervals unless the bypass fires, BlasrAlignImpl.hpp:780-1004).
@@ -426,11 +469,13 @@ def map_batch(
     mts = pick(mt.reshape(n2, C, mcw))
     offs = _band_offsets(mqs, mts, ws, L, W, w_b,
                          frag_diag, frag_ok, between_only)
+    if profile_stop == 41:
+        return _stop(offs, windows, qa, qb, ta, tb)
     if k_sdp > 0:
         # short-tuple window pass (sdpTupleSize below the index seed
         # size), on the top-2 chain-ranked candidates per strand-row —
         # window k-mer sorting is too expensive to run for every slot
-        from blasr_tpu.kernels.sdp import window_fragment_diags
+        from blasr_tpu.kernels.sdp import window_fragment_diags_banded
         n_sdp = min(2 * n2, n_dp)
         gmask = (sel % C) < 2
         srows = jnp.argsort(jnp.where(gmask, 0, 1),
@@ -441,10 +486,10 @@ def map_batch(
 
         rk2, rv2 = read_kmer_keys(reads2, rlen2, k_sdp)
         rr = jnp.take(read_row, srows)
-        wfd, wfo = window_fragment_diags(
+        wfd, wfo = window_fragment_diags_banded(
             jnp.take(rk2, rr, axis=0), jnp.take(rv2, rr, axis=0),
-            sub(windows), jnp.full((n_sdp,), W, jnp.int32),
-            k=k_sdp, occ=sdp_occ)
+            sub(windows), jnp.full((n_sdp,), W, jnp.int32), sub(offs),
+            k=k_sdp, occ=sdp_occ, w_b=w_b)
         fd2 = jnp.concatenate([sub(frag_diag), wfd], axis=2)
         fo2 = jnp.concatenate(
             [sub(frag_ok), wfo & sub(no_bypass)[:, None, None]], axis=2)
@@ -499,11 +544,12 @@ def map_batch(
     res_sub = type(res)(score=sub_tb(res.score), tbbits=sub_tb(res.tbbits),
                         final_state=sub_tb(res.final_state),
                         valid=sub_tb(res.valid))
+    t_rl = tb_cap if tb_cap > 0 else max(128, T // 4)
     tbk = banded_traceback(res_sub, sub_tb(offs), sub_tb(qa), sub_tb(qb),
-                           sub_tb(ta), sub_tb(tb), t_max=T, w_b=w_b)
+                           sub_tb(ta), sub_tb(tb), t_max=t_rl, w_b=w_b)
 
     if profile_stop == 6:
-        return _stop(tbk.ops, tbk.n_match, tbk.n_mismatch, tbk.n_ins,
+        return _stop(tbk.pairs, tbk.n_match, tbk.n_mismatch, tbk.n_ins,
                      tbk.n_del)
 
     def back(v):
@@ -513,12 +559,9 @@ def map_batch(
         jnp.arange(n_tb, dtype=jnp.int32))
     slot_of_dp = jnp.where(keep_tb, slot_of_dp, -1)
 
-    # pack ops to 2 bits (M/I/D/stop; mismatch folds into M — the host
-    # re-derives =/X from sequences when needed): 4x smaller transfer
-    ops2 = jnp.where(tbk.ops == 4, jnp.uint8(1), tbk.ops)
-    o4 = ops2.reshape(ops2.shape[0], -1, 4).astype(jnp.uint32)
-    packed = (o4[:, :, 0] | (o4[:, :, 1] << 2) | (o4[:, :, 2] << 4)
-              | (o4[:, :, 3] << 6)).astype(jnp.uint8)
+    # RL pairs travel as-is (already 2 packed uint16 per int32; size
+    # scales with the error count, not the read length)
+    packed = tbk.pairs
 
     def scatter(vals, fill=0):
         buf = jnp.full((n2 * C,) + vals.shape[1:], fill, vals.dtype)
@@ -546,8 +589,12 @@ def map_batch(
         cands.n_anchors.reshape(n2, C),
         jnp.broadcast_to(anchors.n_total[:, None], (n2, C)),
         cands.valid.reshape(n2, C).astype(jnp.int32),
+        scatter(back(tbk.overflow.astype(jnp.int32))),
     ], axis=-1)
-    return PackedBatch(ints=ints, ops=packed, clusters=cluster_stats)
+    flat = jnp.concatenate([ints.reshape(-1), cluster_stats.reshape(-1),
+                            packed.reshape(-1)])
+    return PackedBatch(ints=ints, ops=packed, clusters=cluster_stats,
+                       flat=flat)
 
 
 # ---------------------------------------------------------------------------
@@ -595,29 +642,37 @@ class Alignment:
         return (self.qend - self.qstart) * 128
 
 
-def unpack_ops(packed: np.ndarray) -> np.ndarray:
-    """2-bit packed ops -> per-op array (still end-first, 0 = stop)."""
-    p = packed.astype(np.uint16)
-    out = np.empty(p.shape[0] * 4, dtype=np.uint8)
-    out[0::4] = p & 3
-    out[1::4] = (p >> 2) & 3
-    out[2::4] = (p >> 4) & 3
-    out[3::4] = (p >> 6) & 3
-    return out
+def unpack_pairs(words: np.ndarray):
+    """RL traceback words (one TracebackResult.pairs row) -> (ops, counts)
+    end-first.  Each int32 word holds two uint16 halves (low first), each
+    half = op | count << 2; op 0 = stop."""
+    u = np.ascontiguousarray(words, dtype=np.int32).view(np.uint32)
+    h = np.empty(u.size * 2, dtype=np.uint32)
+    h[0::2] = u & 0xFFFF
+    h[1::2] = u >> 16
+    ops = (h & 3).astype(np.uint8)
+    stop = np.nonzero(ops == 0)[0]
+    n = int(stop[0]) if stop.size else len(ops)
+    return ops[:n], (h[:n] >> 2).astype(np.int64)
 
 
-def ops_to_cigar(packed_rev: np.ndarray) -> List:
-    """packed ops (end-first) -> run-length [(op, n), ...] in alignment
-    order.  op codes: 1 'M', 2 'I', 3 'D'."""
-    ops = unpack_ops(packed_rev)
-    ops = ops[ops > 0][::-1]
-    if len(ops) == 0:
+def pairs_to_cigar(words: np.ndarray) -> List:
+    """RL traceback words -> run-length [(op, n), ...] in alignment order.
+    Adjacent same-op pairs (RUN_CAP segments, single-base indel steps)
+    coalesce.  op codes: 1 'M', 2 'I', 3 'D'."""
+    ops, cnts = unpack_pairs(words)
+    n = len(ops)
+    if n == 0:
         return []
-    sym = {1: "M", 2: "I", 3: "D"}
-    change = np.nonzero(np.diff(ops))[0]
-    starts = np.concatenate([[0], change + 1])
-    ends = np.concatenate([change + 1, [len(ops)]])
-    return [(sym[int(ops[s])], int(e - s)) for s, e in zip(starts, ends)]
+    ops = ops[::-1]
+    cnts = cnts[::-1]
+    sym = "?MID"
+    keep = np.concatenate([[True], ops[1:] != ops[:-1]])
+    starts = np.nonzero(keep)[0]
+    ends = np.concatenate([starts[1:], [n]])
+    csum = np.concatenate([[0], np.cumsum(cnts)])
+    return [(sym[ops[s]], int(csum[e] - csum[s]))
+            for s, e in zip(starts, ends)]
 
 
 def split_match_runs(cigar: List, query: np.ndarray,
@@ -766,6 +821,29 @@ class Mapper:
         out: List[List[Alignment]] = []
         # phase 1: dispatch every batch (async; device queues the work)
         sig = float(np.log(2.0 * max(self.gi.glen, 2) * L))
+        def dispatch(arr, lens, tb_cap=0):
+            return map_batch(
+                self.dev, jnp.asarray(arr), jnp.asarray(lens),
+                self.submat, self.gap_costs, np.float32(sig),
+                np.float32(p.min_interval_weight),
+                np.float32(p.sdp_bypass_threshold),
+                cfg_k=self.gi.k, L=L, W=W, w_b=cfg.band_width,
+                C=cfg.n_candidates, A=cfg.max_anchors, O=cfg.occ_per_pos,
+                E=cfg.anchor_ext, T=T,
+                max_chain=min(cfg.guide_anchors, cfg.max_anchors),
+                min_match=p.min_match_length,
+                max_anchors_per_pos=p.max_anchors_per_position,
+                max_lcp=p.max_match_length, indel_rate=p.indel_rate,
+                C_dp=cfg.dp_cands, use_pallas=self.use_pallas,
+                p_value_type=p.p_value_type,
+                lookback=self._chain_lookback(),
+                aggressive_cut=p.aggressive_interval_cut,
+                advance_exact=p.advance_exact_matches,
+                k_sdp=min(p.sdp_tuple_size, 16),
+                sdp_occ=1 if p.fast_sdp else 2,
+                between_only=p.refine_between_anchors_only,
+                use_hp=p.affine_align, tb_cap=tb_cap)
+
         pending = []
         for base in range(0, len(recs), batch):
             group = recs[base:base + batch]
@@ -777,33 +855,19 @@ class Mapper:
                 arr[i, :n] = r.seq[:n]
                 lens[i] = n
             with self.metrics.clock("mapToGenome"):
-                res = map_batch(
-                    self.dev, jnp.asarray(arr), jnp.asarray(lens),
-                    self.submat, self.gap_costs, np.float32(sig),
-                    np.float32(p.min_interval_weight),
-                    np.float32(p.sdp_bypass_threshold),
-                    cfg_k=self.gi.k, L=L, W=W, w_b=cfg.band_width,
-                    C=cfg.n_candidates, A=cfg.max_anchors, O=cfg.occ_per_pos,
-                    E=cfg.anchor_ext, T=T,
-                    max_chain=min(cfg.guide_anchors, cfg.max_anchors),
-                    min_match=p.min_match_length,
-                    max_anchors_per_pos=p.max_anchors_per_position,
-                    max_lcp=p.max_match_length, indel_rate=p.indel_rate,
-                    C_dp=cfg.dp_cands, use_pallas=self.use_pallas,
-                    p_value_type=p.p_value_type,
-                    lookback=self._chain_lookback(),
-                    aggressive_cut=p.aggressive_interval_cut,
-                    advance_exact=p.advance_exact_matches,
-                    k_sdp=min(p.sdp_tuple_size, 16),
-                    sdp_occ=1 if p.fast_sdp else 2,
-                    between_only=p.refine_between_anchors_only,
-                    use_hp=p.affine_align)
-            pending.append((group, lens, res))
+                res = dispatch(arr, lens)
+            pending.append((group, arr, lens, res))
         # phase 2: collect (transfers overlap with later batches' compute)
-        for group, lens, res in pending:
+        for group, arr, lens, res in pending:
             B = batch
             with self.metrics.clock("collectAlignments"):
                 res = unpack_batch(res)
+                if res.overflow.any():
+                    # a traceback needed more RL pairs than the default
+                    # capacity (extremely noisy alignment): rerun with the
+                    # dense bound, which can never overflow
+                    with self.metrics.clock("mapToGenome"):
+                        res = unpack_batch(dispatch(arr, lens, tb_cap=T))
                 for i, r in enumerate(group):
                     out.append(self._collect(res, i, B, r, int(lens[i])))
             self.metrics.add("numReads", len(group))
@@ -842,7 +906,7 @@ class Mapper:
                 except Exception:
                     cigar = None
                 if cigar is None:
-                    cigar = ops_to_cigar(res.ops[slot])
+                    cigar = pairs_to_cigar(res.ops[slot])
                     if not p.allow_adjacent_indels:
                         cigar = merge_adjacent_indels(cigar)
                 if p.cigar_use_seq_match:

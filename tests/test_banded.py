@@ -64,9 +64,13 @@ def run_kernel(read, window, qa, qb, ta, tb, io=4, ie=4, do=5, de=5, w_b=32,
     return res, tbk, submat, off
 
 
-def replay_ops(ops_rev, read, window, qa, ta, submat, io, ie, do, de):
-    """Recompute cost + consumption from the traceback op string."""
-    ops = list(ops_rev[ops_rev > 0][::-1])
+def replay_ops(pairs_row, read, window, qa, ta, submat, io, ie, do, de):
+    """Recompute cost + consumption from the RL traceback pairs."""
+    from blasr_tpu.pipeline.map_read import unpack_pairs
+    ops_e, cnts = unpack_pairs(pairs_row)
+    ops = []
+    for op, c in zip(ops_e[::-1], cnts[::-1]):
+        ops.extend([int(op)] * int(c))
     q, t = qa, ta
     cost = 0.0
     prev = None
@@ -149,7 +153,7 @@ def test_vs_oracle_random(seed, affine):
     assert bool(res.valid[0])
     assert float(res.score[0]) == pytest.approx(expect), f"seed={seed}"
     # traceback replay must reproduce the score exactly and consume all bases
-    cost, q, t = replay_ops(np.asarray(tbk.ops[0]), read, tgt, 0, 0,
+    cost, q, t = replay_ops(np.asarray(tbk.pairs[0]), read, tgt, 0, 0,
                             submat, io, ie, do, de)
     assert cost == pytest.approx(float(res.score[0]))
     assert q == len(read) and t == len(tgt)
@@ -166,7 +170,7 @@ def test_subrange_alignment():
     assert bool(res.valid[0])
     assert float(res.score[0]) == -5.0 * 30
     assert int(tbk.n_match[0]) == 30
-    cost, q, t = replay_ops(np.asarray(tbk.ops[0]), read, window, qa, ta,
+    cost, q, t = replay_ops(np.asarray(tbk.pairs[0]), read, window, qa, ta,
                             submat, 4, 4, 5, 5)
     assert (q, t) == (qb, tb)
 
@@ -187,7 +191,7 @@ def test_band_shift_with_offset_jump():
                                      center=center)
     assert bool(res.valid[0])
     assert float(res.score[0]) == -5.0 * 60 + 5.0 + 5.0 * 24
-    cost, q, t = replay_ops(np.asarray(tbk.ops[0]), read, window, 0, 0,
+    cost, q, t = replay_ops(np.asarray(tbk.pairs[0]), read, window, 0, 0,
                             submat, 4, 4, 5, 5)
     assert cost == pytest.approx(float(res.score[0]))
     assert (q, t) == (L, W)

@@ -73,8 +73,8 @@ def test_matches_xla_kernel():
     # traceback bits only matter inside the active region; compare ops
     tb_ref = banded_traceback(ref, offs, qa, qb, ta, tb, t_max=L + W)
     tb_out = banded_traceback(out, offs, qa, qb, ta, tb, t_max=L + W)
-    np.testing.assert_array_equal(np.asarray(tb_ref.ops)[v],
-                                  np.asarray(tb_out.ops)[v])
+    np.testing.assert_array_equal(np.asarray(tb_ref.pairs)[v],
+                                  np.asarray(tb_out.pairs)[v])
 
 
 def test_n_not_multiple_of_8():
@@ -109,5 +109,5 @@ def test_affine_gaps():
                                   np.asarray(out.score)[v])
     tb_ref = banded_traceback(ref, offs, qa, qb, ta, tb, t_max=L + W)
     tb_out = banded_traceback(out, offs, qa, qb, ta, tb, t_max=L + W)
-    np.testing.assert_array_equal(np.asarray(tb_ref.ops)[v],
-                                  np.asarray(tb_out.ops)[v])
+    np.testing.assert_array_equal(np.asarray(tb_ref.pairs)[v],
+                                  np.asarray(tb_out.pairs)[v])

@@ -147,28 +147,29 @@ def test_deterministic_rerun(world):
 
 
 def test_native_cigar_matches_python():
-    """The C++ CIGAR assembler must match ops_to_cigar +
+    """The C++ CIGAR assembler must match pairs_to_cigar +
     merge_adjacent_indels exactly (host collect hot path)."""
     import numpy as np
     from blasr_tpu.native import cigar_native
     from blasr_tpu.pipeline.map_read import (merge_adjacent_indels,
-                                             ops_to_cigar)
+                                             pairs_to_cigar)
     rng = np.random.default_rng(0)
     checked = 0
     for _ in range(100):
-        n_ops = int(rng.integers(0, 200))
-        ops = rng.choice([0, 1, 2, 3], size=n_ops,
-                         p=[0.05, 0.6, 0.175, 0.175]).astype(np.uint8)
-        pad = (-len(ops)) % 4
-        full = np.concatenate([ops, np.zeros(pad, np.uint8)])
-        o4 = full.reshape(-1, 4).astype(np.uint32)
-        packed = (o4[:, 0] | (o4[:, 1] << 2) | (o4[:, 2] << 4)
-                  | (o4[:, 3] << 6)).astype(np.uint8)
+        n_pairs = int(rng.integers(0, 60))
+        ops = rng.choice([1, 2, 3], size=n_pairs,
+                         p=[0.6, 0.2, 0.2]).astype(np.uint32)
+        cnts = rng.integers(1, 50, size=n_pairs).astype(np.uint32)
+        halves = ops | (cnts << 2)
+        pad = (-len(halves)) % 2 + 2  # trailing stop halves
+        halves = np.concatenate([halves, np.zeros(pad, np.uint32)])
+        h2 = halves.reshape(-1, 2)
+        words = (h2[:, 0] | (h2[:, 1] << 16)).astype(np.uint32).view(np.int32)
         for adj in (True, False):
-            got = cigar_native(packed, adj)
+            got = cigar_native(words, adj)
             if got is None:
                 return  # extension unavailable in this environment
-            want = ops_to_cigar(packed)
+            want = pairs_to_cigar(words)
             if not adj:
                 want = merge_adjacent_indels(want)
             assert got == want

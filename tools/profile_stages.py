@@ -103,13 +103,13 @@ def main():
     print(f"{'device->host':24s} {(time.time()-t0)*1000:9.1f} ms "
           f"(ops bytes={host.ops.nbytes})")
     # host cigar-assembly cost
-    from blasr_tpu.pipeline.map_read import ops_to_cigar, merge_adjacent_indels
+    from blasr_tpu.pipeline.map_read import pairs_to_cigar, merge_adjacent_indels
     t0 = time.time()
     nal = 0
     for row in range(host.dp_slot.shape[0]):
         for c in range(host.dp_slot.shape[1]):
             if host.valid[row, c] and host.dp_slot[row, c] >= 0:
-                cg = ops_to_cigar(host.ops[host.dp_slot[row, c]])
+                cg = pairs_to_cigar(host.ops[host.dp_slot[row, c]])
                 cg = merge_adjacent_indels(cg)
                 nal += 1
     print(f"{'host cigar assembly':24s} {(time.time()-t0)*1000:9.1f} ms "
