@@ -127,6 +127,45 @@ def test_single_insertion_and_deletion():
     assert int(tbk2.n_del[0]) >= 1
 
 
+def test_traceback_overflow_flag_and_dense_rerun():
+    """A pair capacity below the alignment's RL pair count must flag
+    overflow; the dense bound (t_max = L + W) must then complete with
+    identical counts (the Mapper's rerun contract)."""
+    rng = np.random.default_rng(9)
+    tgt = rng.integers(0, 4, 200, dtype=np.int8)
+    # alternate ins every ~3 bases: many short M runs -> many RL pairs
+    read = []
+    for j, b in enumerate(tgt):
+        read.append(b)
+        if j % 3 == 0:
+            read.append(rng.integers(0, 4))
+    read = np.array(read, dtype=np.int8)
+    window = np.concatenate([[4], tgt]).astype(np.int8)
+    L, W = len(read), len(window)
+    submat = np.asarray(default_score_matrix(), np.float32).reshape(25)
+    r = np.arange(L)
+    # true path: ~3 target bases per 4 read rows (one ins per 3 matches)
+    off = np.clip(1 + (3 * r) // 4 - 16, 0, W - 32)
+    off = np.maximum.accumulate(off).astype(np.int32)
+    args = (jnp.asarray(read, jnp.int8)[None],
+            jnp.asarray(window, jnp.int8)[None], jnp.asarray(off)[None],
+            jnp.asarray([0], jnp.int32), jnp.asarray([L], jnp.int32),
+            jnp.asarray([1], jnp.int32), jnp.asarray([W], jnp.int32))
+    res = banded_align(*args[:2], args[2], *args[3:],
+                       jnp.asarray(submat), 4.0, 4.0, 5.0, 5.0, w_b=32)
+    tb_args = (args[2][0][None], args[3], args[4], args[5], args[6])
+    small = banded_traceback(res, *tb_args, t_max=64, w_b=32)
+    assert bool(small.overflow[0])
+    dense = banded_traceback(res, *tb_args, t_max=L + W, w_b=32)
+    assert not bool(dense.overflow[0])
+    # the dense run replays to the exact score and consumes everything
+    cost, q, t = replay_ops(np.asarray(dense.pairs[0]), read, window, 0, 1,
+                            submat, 4, 4, 5, 5)
+    assert cost == pytest.approx(float(res.score[0]))
+    assert (q, t) == (L, W)
+    assert int(dense.n_ins[0]) >= 60
+
+
 @pytest.mark.parametrize("seed", range(5))
 @pytest.mark.parametrize("affine", [False, True])
 def test_vs_oracle_random(seed, affine):

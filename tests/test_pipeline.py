@@ -146,6 +146,35 @@ def test_deterministic_rerun(world):
                     b.cigar)
 
 
+def test_overflow_rerun_matches_default(world):
+    """Forcing a tiny traceback pair capacity must flag overflow and make
+    the Mapper rerun with the dense bound, producing the same alignments
+    as the default capacity."""
+    import blasr_tpu.pipeline.map_read as mr
+    contigs, gi, sims, params, mapper, results = world
+    recs = [s.rec for s in sims]
+    want = [[(a.tstart, a.tend, a.strand, a.score, tuple(a.cigar or []))
+             for a in alns] for alns in mapper.map_reads(recs)]
+    orig = mr.map_batch
+    reran = {"n": 0}
+
+    def tiny_cap(*args, **kw):
+        if kw.get("tb_cap", 0) == 0:
+            kw["tb_cap"] = 64  # far below any real alignment's pair count
+        else:
+            reran["n"] += 1
+        return orig(*args, **kw)
+
+    mr.map_batch = tiny_cap
+    try:
+        got = [[(a.tstart, a.tend, a.strand, a.score, tuple(a.cigar or []))
+                for a in alns] for alns in mapper.map_reads(recs)]
+    finally:
+        mr.map_batch = orig
+    assert reran["n"] > 0  # the dense rerun actually fired
+    assert got == want
+
+
 def test_native_cigar_matches_python():
     """The C++ CIGAR assembler must match pairs_to_cigar +
     merge_adjacent_indels exactly (host collect hot path)."""
