@@ -172,6 +172,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--refineConcordantAlignments", action="store_true")
     ap.add_argument("--noSplitSubreads", action="store_true")
     ap.add_argument("--minSubreadLength", type=int, default=0)
+    ap.add_argument("--minRawSubreadScore", type=int, default=-1)
     # selection / output extras
     ap.add_argument("--holeNumbers", default=None,
                     help="ZMW hole-number ranges, e.g. 1,2,10-12")
@@ -291,6 +292,7 @@ def params_from_args(args) -> MappingParams:
         use_random_seed=args.randomSeed != 0,
         min_read_length=args.minReadLength,
         min_subread_length=args.minSubreadLength,
+        min_raw_subread_score=args.minRawSubreadScore,
         max_read_length=args.maxReadLength,
         indel=args.indel, insertion=args.insertion, deletion=args.deletion,
         match=args.match, mismatch=args.mismatch,
@@ -419,7 +421,9 @@ def run(argv: Optional[List[str]] = None) -> int:
                         ccs_groups.extend(rdr.ccs_groups(
                             full_only=not params.use_all_subreads_in_ccs))
                     else:
-                        subs = rdr.subreads(split=not args.noSplitSubreads)
+                        subs = rdr.subreads(
+                            min_score=max(params.min_raw_subread_score, 0),
+                            split=not args.noSplitSubreads)
                         if params.min_subread_length:
                             subs = [r for r in subs
                                     if len(r.seq)

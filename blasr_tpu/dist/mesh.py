@@ -28,7 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from blasr_tpu.index.genome import GenomeIndex, build_kmer_index
 from blasr_tpu.pipeline.map_read import (
-    COL_DPSLOT, COL_NANCH, COL_SCORE, COL_TE, COL_TS, COL_VALID, N_COLS,
+    COL_DPSLOT, COL_NANCH, COL_NCLIP, COL_SCORE, COL_TE, COL_TS, COL_VALID,
+    N_COLS,
     DeviceIndex, PackedBatch, map_batch)
 
 
@@ -158,6 +159,7 @@ def map_batch_ref_sharded(
             -1)
         g_ints = g_ints.at[..., COL_DPSLOT].set(slot_global)
         nanch = jnp.sum(g_ints[..., COL_NANCH], axis=0)    # psum over shards
+        nclip = jnp.sum(g_ints[..., COL_NCLIP], axis=0)
         merged = jnp.moveaxis(g_ints, 0, 1).reshape(
             g_ints.shape[1], n_shards * C, N_COLS)         # [2B, R*C, cols]
         key = jnp.where(merged[..., COL_VALID] > 0,
@@ -165,6 +167,7 @@ def map_batch_ref_sharded(
         order = jnp.argsort(key, axis=1, stable=True)[:, :C]
         top = jnp.take_along_axis(merged, order[..., None], axis=1)
         top = top.at[..., COL_NANCH].set(nanch[:, :1])
+        top = top.at[..., COL_NCLIP].set(nclip[:, :1])
         # merge cluster lists: union over shards, keep the heaviest
         # gate-passing clusters (ClusterList analog stays fixed-width)
         g_cl = jax.lax.all_gather(res.clusters, "ref", axis=0)

@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BIG = jnp.int32(0x3FFFFFFF)
 
@@ -42,6 +43,10 @@ class Anchors(NamedTuple):
     # (position i, occurrence o) -> genome position hits_t[b, i, o]
     hits_t: jnp.ndarray = None      # int32 [B, L, O]
     hits_valid: jnp.ndarray = None  # bool [B, L, O]
+    n_clipped: jnp.ndarray = None  # int32 [B] seed occurrences dropped by
+    #                      the occ-per-position cap: the anchor-ambiguity
+    #                      signal (the reference emits every occurrence,
+    #                      maxAnchorsPerPosition=10000)
 
 
 def read_kmer_keys(reads: jnp.ndarray, read_len: jnp.ndarray, k: int):
@@ -223,15 +228,27 @@ def find_anchors(
     seed_nlogp = jnp.log(m_total / jnp.maximum(nocc, 1).astype(jnp.float32))
     nlogp = seed_nlogp[:, :, None] + (length - k).astype(jnp.float32) * LOG4
 
-    # top-A selection: valid first, longer first, then by (q, occ) for
-    # a deterministic order (lax.top_k measured slower here in the fused
-    # pipeline graph — full argsort fuses better)
+    # top-A selection: valid first, longer first, equal lengths spread
+    # across read positions by a bit-reversed (low-discrepancy) tie-break
+    # (lax.top_k measured slower here in the fused pipeline graph — full
+    # argsort fuses better).  A first-flat-index tie-break would cluster
+    # the kept anchors at the read start whenever the anchor count
+    # saturates max_anchors — on repetitive templates (all anchors the
+    # same length, ctest/bug25328.t unrolled resequencing) that starves
+    # the chain of coverage past the first few hundred bases.
     flat_valid = cand_valid.reshape(B, L * O)
     flat_len = length.reshape(B, L * O)
     flat_q = q.reshape(B, L * O)
     flat_t = t.reshape(B, L * O)
     flat_p = nlogp.reshape(B, L * O)
-    rank = jnp.where(flat_valid, -flat_len, BIG)
+    nbits = max(1, (L * O - 1).bit_length())
+    iota = np.arange(L * O, dtype=np.uint32)
+    rev = np.zeros_like(iota)
+    for b in range(nbits):
+        rev |= ((iota >> b) & 1) << (nbits - 1 - b)
+    spread = jnp.asarray(rev.astype(np.int32))[None, :]
+    rank = jnp.where(flat_valid,
+                     (-flat_len << nbits) + spread, BIG)
     order = jnp.argsort(rank, axis=1, stable=True)[:, :max_anchors]
     sel_q = jnp.take_along_axis(flat_q, order, axis=1)
     sel_t = jnp.take_along_axis(flat_t, order, axis=1)
@@ -239,6 +256,9 @@ def find_anchors(
     sel_v = jnp.take_along_axis(flat_valid, order, axis=1)
     sel_p = jnp.take_along_axis(flat_p, order, axis=1)
     n_total = jnp.sum(flat_valid, axis=1).astype(jnp.int32)
+    n_clipped = jnp.sum(
+        jnp.where(pos_ok, jnp.maximum(nocc - O, 0), 0),
+        axis=1).astype(jnp.int32)
 
     # final order: by genome position (SortMatchPosList,
     # BlasrAlignImpl.hpp:92-95), invalid pushed to the end
@@ -250,6 +270,7 @@ def find_anchors(
         l=jnp.take_along_axis(sel_l, order2, axis=1),
         valid=jnp.take_along_axis(sel_v, order2, axis=1),
         n_total=n_total,
+        n_clipped=n_clipped,
         nlogp=jnp.take_along_axis(sel_p, order2, axis=1),
         hits_t=t,
         hits_valid=pos_ok[:, :, None] & (occ[None, None, :] < nocc[:, :, None])

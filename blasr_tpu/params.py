@@ -117,6 +117,9 @@ class MappingParams:
     min_read_length: int = 50
     max_read_length: int = 0
     min_subread_length: int = 0
+    # raw HQ-region read score gate, [0, 1000]; -1 = off
+    # (--minRawSubreadScore, MappingParameters.h:121,292, Blasr.cpp:56-85)
+    min_raw_subread_score: int = -1
     min_ratio: float = 0.25
     min_fraction_to_be_considered_overlapping: float = 0.75
 
@@ -178,6 +181,9 @@ class MappingParams:
             p.n_candidates = 1
             p.max_match_length = 30  # maxLCPLength = 30
             p.cigar_use_seq_match = True
+        # raw subread score lives in [0, 1000] (MakeSane :674-676)
+        if p.min_raw_subread_score > 1000:
+            p.min_raw_subread_score = 1000
         # minMatch must be >= lookupPrefixLength (Blasr.cpp:1110-1126)
         if p.min_match_length < p.lookup_table_length:
             p.min_match_length = p.lookup_table_length

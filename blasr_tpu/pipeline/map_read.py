@@ -102,8 +102,8 @@ class DeviceIndex(NamedTuple):
 # column indices of PackedBatch.ints
 (COL_VALID, COL_QA, COL_QB, COL_TS, COL_TE, COL_NMATCH, COL_NMIS, COL_NINS,
  COL_NDEL, COL_DPSLOT, COL_SCORE, COL_CHSCORE, COL_CHANCH, COL_NANCH,
- COL_CVALID, COL_OVF) = range(16)
-N_COLS = 16
+ COL_CVALID, COL_OVF, COL_NCLIP) = range(17)
+N_COLS = 17
 
 
 class PackedBatch(NamedTuple):
@@ -147,6 +147,8 @@ class BatchResult(NamedTuple):
     cluster_valid: np.ndarray  # bool [2B, C_stat]
     overflow: np.ndarray       # bool [2B, C]: traceback pair capacity
     #                            exceeded — rerun the batch with tb_cap=T
+    n_clipped: np.ndarray      # [2B] seed occurrences dropped by the
+    #                            occ-per-position cap (ambiguity signal)
 
 
 def unpack_batch(pb: PackedBatch) -> BatchResult:
@@ -173,6 +175,7 @@ def unpack_batch(pb: PackedBatch) -> BatchResult:
         cluster_bases=clusters[..., 0].astype(np.float32),
         cluster_valid=clusters[..., 1] > 0,
         overflow=c[15] > 0,
+        n_clipped=c[16][:, 0],
     )
 
 
@@ -590,6 +593,7 @@ def map_batch(
         jnp.broadcast_to(anchors.n_total[:, None], (n2, C)),
         cands.valid.reshape(n2, C).astype(jnp.int32),
         scatter(back(tbk.overflow.astype(jnp.int32))),
+        jnp.broadcast_to(anchors.n_clipped[:, None], (n2, C)),
     ], axis=-1)
     flat = jnp.concatenate([ints.reshape(-1), cluster_stats.reshape(-1),
                             packed.reshape(-1)])
@@ -759,6 +763,10 @@ class Mapper:
         # minMatch-12 sensitivity (iblasr/MappingParameters.h:258).
         from blasr_tpu.pipeline.metrics import MappingMetrics
         self.rescue = rescue
+        # per-read anchor totals of the latest pass (keyed by record id);
+        # feeds the anchor-ambiguity rescue in map_reads
+        self._anchor_totals: Dict[int, int] = {}
+        self._ambiguity_rescue = True
         self.gi = gi
         self.params = params.make_sane()
         # --nCandidates drives the device candidate capacity when no
@@ -882,6 +890,9 @@ class Mapper:
                  rlen: int) -> List[Alignment]:
         alns: List[Alignment] = []
         p = self.params
+        self._anchor_totals[id(rec)] = (
+            int(res.n_anchors[i]) + int(res.n_anchors[i + B]),
+            int(res.n_clipped[i]) + int(res.n_clipped[i + B]))
         for strand in (0, 1):
             if strand == 1 and p.forward_only:
                 continue
@@ -973,6 +984,7 @@ class Mapper:
     def map_reads(self, recs: Sequence[FastaRecord]) -> List[List[Alignment]]:
         """Map reads; returns per-read alignment lists in input order."""
         p = self.params
+        self._anchor_totals.clear()
         order: Dict[int, List[Alignment]] = {}
         kept = [(j, r) for j, r in enumerate(recs)
                 if len(r.seq) >= p.min_read_length
@@ -1015,6 +1027,40 @@ class Mapper:
                 results = retry._run_bucket([r for _, r in items], b, batch)
                 for (j, _), alns in zip(items, results):
                     order[j] = alns
+        # anchor-ambiguity rescue (unrolled/repetitive templates,
+        # ctest/bug25328.t): the reference's default emits every SA
+        # occurrence per position (maxAnchorsPerPosition=10000,
+        # MappingParameters.h:731), so its base pass resolves highly
+        # repetitive templates that occ_per_pos sampling cannot.  Reads
+        # whose anchor search saturated the capacity yet produced no
+        # alignment get one deep-occurrence retry.
+        if self._ambiguity_rescue:
+            def coverage(j, r):
+                if not order[j]:
+                    return 0.0
+                return max(a.qend - a.qstart for a in order[j]) / len(r.seq)
+
+            deep = []
+            for j, r in kept:
+                total, clipped = self._anchor_totals.get(id(r), (0, 0))
+                if (clipped > max(total, 64)
+                        and coverage(j, r) < 0.5):
+                    deep.append((j, r))
+            if deep:
+                dcfg = dataclasses.replace(
+                    self.cfg,
+                    occ_per_pos=max(48, self.cfg.occ_per_pos),
+                    max_anchors=max(2048, self.cfg.max_anchors))
+                dm = Mapper(self.gi, p, dcfg, metrics=self.metrics,
+                            dev=self.dev)
+                dm._ambiguity_rescue = False
+                with self.metrics.clock("ambiguityRescue"):
+                    res = dm.map_reads([r for _, r in deep])
+                for (j, r), alns in zip(deep, res):
+                    if alns and (not order[j] or
+                                 min(a.score for a in alns)
+                                 < min(a.score for a in order[j])):
+                        order[j] = alns
         if self.rescue is not None:
             # cross-index rescue: unmapped or weak (< 72% similar) reads
             # re-map on the sensitive index; the better score wins

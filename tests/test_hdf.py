@@ -96,6 +96,24 @@ def test_blasr_maps_bax_input(bax_world, tmp_path):
     assert all(l.split()[0].startswith("m000001/") for l in lines)
 
 
+def test_min_raw_subread_score_gate(bax_world, tmp_path):
+    """--minRawSubreadScore drops every subread of a ZMW whose HQ-region
+    score falls below the threshold (bug25766.t contract; the gate is
+    IsGoodRead, Blasr.cpp:56-85).  The fixture's HQ score is 850."""
+    from blasr_tpu.cli.blasr import run
+    d, path, contigs, zmws = bax_world
+    keep = tmp_path / "keep.m4"
+    drop = tmp_path / "drop.m4"
+    assert run([str(path), str(d / "genome.fa"), "-m", "4",
+                "--minReadLength", "50", "--minRawSubreadScore", "700",
+                "--out", str(keep)]) == 0
+    assert run([str(path), str(d / "genome.fa"), "-m", "4",
+                "--minReadLength", "50", "--minRawSubreadScore", "900",
+                "--out", str(drop)]) == 0
+    assert len(open(keep).read().strip().splitlines()) >= 5
+    assert open(drop).read().strip() == ""
+
+
 def test_pls2fasta(bax_world, tmp_path):
     from blasr_tpu.cli.pls2fasta import run
     d, path, contigs, zmws = bax_world

@@ -54,6 +54,7 @@ WIRED = {
     "min_read_length": "Mapper.map_reads",
     "max_read_length": "Mapper.map_reads",
     "min_subread_length": "cli HDF extraction",
+    "min_raw_subread_score": "cli HDF extraction (HQ-region score gate)",
     "min_fraction_to_be_considered_overlapping": "select partition",
     "store_map_qv": "cli emit (--noStoreMapQV)",
     "scale_mapqv_by_num_significant_clusters": "select",
