@@ -192,6 +192,54 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--clusters", default=None,
                     help="per-read cluster statistics file")
     ap.add_argument("-V", "--verbose", type=int, default=0, nargs="?", const=1)
+    # remaining reference registry rows (RegisterBlasrOptions.h:28-179):
+    # wired where machinery exists; structurally-obviated knobs accepted
+    # and classified in tests/test_param_coverage.py; unsupported requests
+    # rejected loudly in run()
+    ap.add_argument("--nucmer", "--emulateNucmer", dest="nucmer",
+                    action="store_true")
+    ap.add_argument("--placeRepeatsRandomly", action="store_true")
+    ap.add_argument("--minAvgQual", type=int, default=0)
+    ap.add_argument("--ignoreRegions", action="store_true")
+    ap.add_argument("--ignoreHQRegions", action="store_true")
+    ap.add_argument("--regionTable", default=None,
+                    help="separate region-table rgn.h5 (DEPRECATED)")
+    ap.add_argument("--global", dest="globalAlign", action="store_true")
+    ap.add_argument("--accuracyPrior", type=float, default=0.0)
+    ap.add_argument("--samQV", nargs="+", default=None,
+                    help="QV tracks to print as SAM tags (implies "
+                         "--printSAMQV)")
+    ap.add_argument("--extendBandSize", type=int, default=10)
+    ap.add_argument("--sdpindel", type=int, default=None,
+                    help="sets both sdpIns and sdpDel")
+    ap.add_argument("--sdpbypass", type=float, default=None,
+                    help="alias of --sdpBypassThreshold")
+    ap.add_argument("--rbao", action="store_true",
+                    help="alias of --refineBetweenAnchorsOnly")
+    ap.add_argument("--guidedAlign", action="store_true",
+                    help="reference trashbin flag (guided align is on)")
+    ap.add_argument("--saLookupTableLength", type=int, default=8,
+                    help="accepted; the direct LUT here uses the full "
+                         "seed length")
+    # reference-trashbin / structurally-obviated flags (accepted;
+    # classification in tests/test_param_coverage.py)
+    for flag in ("--useDetailedSDP", "--nouseDetailedSDP", "--useTemp",
+                 "--skipLookupTable", "--sortRefinedAlignments",
+                 "--computeAlignProbability", "--extendDenovoCCSSubreads",
+                 "--noFrontAlign"):
+        ap.add_argument(flag, action="store_true")
+    for flag, dflt in (("--limsAlign", 0), ("--branchExpand", 0),
+                       ("--contextAlignLength", 0), ("--nbranch", 1),
+                       ("--quallc", 0), ("--recurseOver", 10000),
+                       ("--stopMappingOnceUnique", 0),
+                       ("--sdpFilterType", 0), ("--scoreType", 0)):
+        ap.add_argument(flag, type=int, default=dflt)
+    ap.add_argument("--minFrac", type=float, default=0.0)
+    ap.add_argument("--outputByThread", action="store_true")
+    # unsupported (rejected loudly in run())
+    ap.add_argument("--ccsFofn", default=None)
+    ap.add_argument("--lcpBounds", default=None)
+    ap.add_argument("--samplePaths", action="store_true")
     return ap
 
 
@@ -252,10 +300,13 @@ def params_from_args(args) -> MappingParams:
         do_sensitive_search=args.useSensitiveSearch,
         min_ratio=args.minRatio,
         sdp_tuple_size=args.sdpTupleSize,
-        sdp_ins=args.sdpIns,
-        sdp_del=args.sdpDel,
+        sdp_bypass_threshold=(args.sdpbypass if args.sdpbypass is not None
+                              else 1e6),
+        sdp_ins=args.sdpindel if args.sdpindel is not None else args.sdpIns,
+        sdp_del=args.sdpindel if args.sdpindel is not None else args.sdpDel,
         fast_sdp=args.fastSDP,
-        refine_between_anchors_only=args.refineBetweenAnchorsOnly,
+        refine_between_anchors_only=(args.refineBetweenAnchorsOnly
+                                     or args.rbao),
         refine_alignments=not args.noRefineAlignments,
         use_guided_align=not args.noUseGuidedAlign,
         band_size=args.bandSize,
@@ -274,7 +325,8 @@ def params_from_args(args) -> MappingParams:
         map_subreads_separately=not args.noSplitSubreads,
         hole_number_ranges=args.holeNumbers or "",
         title_table_name=args.titleTable or "",
-        print_sam_qv=args.printSAMQV,
+        print_sam_qv=args.printSAMQV or args.samQV is not None,
+        sam_qv_list=tuple(args.samQV) if args.samQV else (),
         print_subread_title=not args.noPrintSubreadTitle,
         max_anchors_per_position=args.maxAnchorsPerPosition,
         advance_exact_matches=args.advanceExactMatches,
@@ -293,6 +345,14 @@ def params_from_args(args) -> MappingParams:
         min_read_length=args.minReadLength,
         min_subread_length=args.minSubreadLength,
         min_raw_subread_score=args.minRawSubreadScore,
+        min_avg_qual=args.minAvgQual,
+        place_randomly=args.placeRepeatsRandomly,
+        use_region_table=not args.ignoreRegions,
+        use_hq_region_table=not args.ignoreHQRegions,
+        do_global_alignment=args.globalAlign,
+        accuracy_prior=args.accuracyPrior,
+        extend_band_size=args.extendBandSize,
+        emulate_nucmer=args.nucmer,
         max_read_length=args.maxReadLength,
         indel=args.indel, insertion=args.insertion, deletion=args.deletion,
         match=args.match, mismatch=args.mismatch,
@@ -336,6 +396,23 @@ def run(argv: Optional[List[str]] = None) -> int:
     if args.globalChainType != 0:
         sys.stderr.write("ERROR: --globalChainType != 0 is not supported "
                          "by blasr_tpu\n")
+        return 1
+    if args.scoreType != 0:
+        sys.stderr.write("ERROR: --scoreType != 0 is not supported by "
+                         "blasr_tpu (only the distance-matrix score "
+                         "function family is modeled)\n")
+        return 1
+    if args.ccsFofn:
+        sys.stderr.write("ERROR: --ccsFofn is not supported by blasr_tpu "
+                         "(pass the ccs.h5 file as the reads input)\n")
+        return 1
+    if args.lcpBounds:
+        sys.stderr.write("ERROR: --lcpBounds is not supported by "
+                         "blasr_tpu\n")
+        return 1
+    if args.samplePaths:
+        sys.stderr.write("ERROR: --samplePaths is not supported by "
+                         "blasr_tpu\n")
         return 1
     if args.scoreSign != -1:
         sys.stderr.write("ERROR: --scoreSign 1 (higher-is-better scores) "
@@ -413,7 +490,7 @@ def run(argv: Optional[List[str]] = None) -> int:
                 # HDF inputs honor -noSplitSubreads at extraction time
                 # (MakePrimaryIntervals region variants, Blasr.cpp:89-179)
                 from blasr_tpu.io.hdf import BaxReader
-                rdr = BaxReader(path)
+                rdr = BaxReader(path, region_path=args.regionTable)
                 try:
                     if (params.use_ccs and not params.use_ccs_only
                             and rdr.passes is not None):
@@ -423,7 +500,9 @@ def run(argv: Optional[List[str]] = None) -> int:
                     else:
                         subs = rdr.subreads(
                             min_score=max(params.min_raw_subread_score, 0),
-                            split=not args.noSplitSubreads)
+                            split=not args.noSplitSubreads,
+                            use_regions=params.use_region_table,
+                            use_hq=params.use_hq_region_table)
                         if params.min_subread_length:
                             subs = [r for r in subs
                                     if len(r.seq)
@@ -438,6 +517,13 @@ def run(argv: Optional[List[str]] = None) -> int:
             # (Blasr.cpp:1352-1355, tested by ctest/open_fail.t)
             sys.stderr.write(f"WARNING: Could not open {path}: {e}\n")
             continue
+    if params.min_avg_qual > 0:
+        # IsGoodRead's average-quality gate (Blasr.cpp:81): applies only
+        # to reads that carry quality values
+        import numpy as _np
+        reads = [r for r in reads
+                 if r.qual is None or len(r.qual) == 0
+                 or float(_np.mean(r.qual)) >= params.min_avg_qual]
     if params.subsample < 1.0:
         # deterministic per-read subsampling (reference --subsample;
         # MakeSane switches off stride when subsampling)

@@ -214,13 +214,17 @@ _SAMQV_TAGS = [("iq", "InsertionQV"), ("dq", "DeletionQV"),
 _COMP = {65: "T", 67: "G", 71: "C", 84: "A", 78: "N"}
 
 
-def _samqv_values(a: Alignment, qa: int, qb: int, whole: bool):
+def _samqv_values(a: Alignment, qa: int, qb: int, whole: bool,
+                  names=()):
     """[(tag, string)] for the tracks present, oriented with the record
     (QVs reversed, tag bases complemented on the reverse strand) and
-    clipped like the SEQ field."""
+    clipped like the SEQ field.  names: --samQV track subset (empty =
+    every present track, SupplementalQVList.SetDefaultQV)."""
     t = a.tracks or {}
     out = []
     for tag, name in _SAMQV_TAGS:
+        if names and name not in names and tag not in names:
+            continue
         v = t.get(name)
         if v is None:
             continue
@@ -284,7 +288,8 @@ def write_sam(f: TextIO, a: Alignment, params=None,
     ]
     if params is not None and getattr(params, "print_sam_qv", False):
         fields += [f"{tag}:Z:{val}" for tag, val in _samqv_values(
-            a, qa, qb, clipping in ("soft", "subread"))]
+            a, qa, qb, clipping in ("soft", "subread"),
+            getattr(params, "sam_qv_list", ()))]
     f.write("\t".join(fields) + "\n")
 
 
@@ -333,7 +338,8 @@ def to_bam_record(a: Alignment, params=None, ref_ids: Optional[dict] = None):
             "RG": "default"}
     if params is not None and getattr(params, "print_sam_qv", False):
         tags.update(_samqv_values(a, qa, qb,
-                                  clipping in ("soft", "subread")))
+                                  clipping in ("soft", "subread"),
+                                  getattr(params, "sam_qv_list", ())))
     return BamRecord(
         qname=qname, flag=16 if a.strand else 0,
         ref_id=(ref_ids or {}).get(a.tname, a.tindex),

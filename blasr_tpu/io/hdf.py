@@ -66,12 +66,14 @@ class RegionTable:
         return [(int(a), int(b)) for a, b in zip(r[:, 2], r[:, 3])]
 
     def subread_intervals(self, hole: int, min_score: int = 0,
-                          split: bool = True) -> List[Tuple[int, int]]:
+                          split: bool = True,
+                          use_hq: bool = True) -> List[Tuple[int, int]]:
         """Insert regions clipped to the HQ region
         (GetHighQualitySubreadsIntervals; MakePrimaryIntervals
         Blasr.cpp:89-179).  split=False returns the whole HQ span
-        (-noSplitSubreads)."""
-        hq = self.hq_region(hole)
+        (-noSplitSubreads); use_hq=False skips HQ clipping and the score
+        gate (--ignoreHQRegions)."""
+        hq = self.hq_region(hole) if use_hq else None
         if hq is not None and hq[2] < min_score:
             return []
         lo, hi = (hq[0], hq[1]) if hq is not None else (0, 1 << 30)
@@ -97,9 +99,12 @@ class ZmwRead:
 class BaxReader:
     """Read a bax/bas/plx/ccs .h5 movie file."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, region_path: Optional[str] = None):
+        # region_path: separate region-table file (--regionTable rgn.h5,
+        # RegisterBlasrOptions.h:34) overriding the movie's own Regions
         import h5py
         self.h5 = h5py.File(path, "r")
+        self._region_h5 = h5py.File(region_path, "r") if region_path else None
         # ccs.h5 carries ConsensusBaseCalls (the primary reads) alongside
         # the raw BaseCalls; prefer the consensus group when present
         base = ("PulseData/ConsensusBaseCalls"
@@ -145,8 +150,9 @@ class BaxReader:
                 v = attrs["MovieName"]
                 self.movie = v.decode() if isinstance(v, bytes) else str(v)
         self.region_table = None
-        if "PulseData/Regions" in self.h5:
-            ds = self.h5["PulseData/Regions"]
+        rsrc = self._region_h5 if self._region_h5 is not None else self.h5
+        if "PulseData/Regions" in rsrc:
+            ds = rsrc["PulseData/Regions"]
             types = list(REGION_TYPES)
             if "RegionTypes" in ds.attrs:
                 types = [t.decode() if isinstance(t, bytes) else str(t)
@@ -164,15 +170,18 @@ class BaxReader:
         return ZmwRead(int(self.holes[i]), seq, tracks)
 
     def subreads(self, min_score: int = 0, split: bool = True,
-                 with_quals: bool = True) -> List[FastaRecord]:
+                 with_quals: bool = True, use_regions: bool = True,
+                 use_hq: bool = True) -> List[FastaRecord]:
         """All subread records, named movie/hole/start_end
-        (the ReaderAgglomerate HDF input path)."""
+        (the ReaderAgglomerate HDF input path).  use_regions=False ignores
+        the region table entirely (--ignoreRegions); use_hq=False skips HQ
+        clipping (--ignoreHQRegions)."""
         out: List[FastaRecord] = []
         for i in range(len(self.holes)):
             z = self.read_zmw(i)
-            if self.region_table is not None:
+            if self.region_table is not None and use_regions:
                 ivals = self.region_table.subread_intervals(
-                    z.hole, min_score, split)
+                    z.hole, min_score, split, use_hq=use_hq)
             else:
                 ivals = [(0, len(z.seq))] if len(z.seq) else []
             for s, e in ivals:
@@ -182,8 +191,11 @@ class BaxReader:
                 qual = None
                 if with_quals and "QualityValue" in z.tracks:
                     qual = z.tracks["QualityValue"][s:e].astype(np.int32)
+                tracks = ({n: v[s:e] for n, v in z.tracks.items()}
+                          if z.tracks else None)
                 out.append(FastaRecord(
-                    f"{self.movie}/{z.hole}/{s}_{e}", z.seq[s:e], qual))
+                    f"{self.movie}/{z.hole}/{s}_{e}", z.seq[s:e], qual,
+                    tracks=tracks))
         return out
 
     def ccs_passes(self, i: int, full_only: bool = False):
@@ -232,6 +244,8 @@ class BaxReader:
 
     def close(self) -> None:
         self.h5.close()
+        if self._region_h5 is not None:
+            self._region_h5.close()
 
 
 def write_ccs(path: str, movie: str, ccs_zmws: Sequence[ZmwRead],

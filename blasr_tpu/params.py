@@ -120,6 +120,19 @@ class MappingParams:
     # raw HQ-region read score gate, [0, 1000]; -1 = off
     # (--minRawSubreadScore, MappingParameters.h:121,292, Blasr.cpp:56-85)
     min_raw_subread_score: int = -1
+    min_avg_qual: int = 0          # average-quality read gate
+    #                                (--minAvgQual, Blasr.cpp:81)
+    place_randomly: bool = False   # deprecated alias: forces randombest
+    #                                (MakeSane, MappingParameters.h:466-468)
+    use_region_table: bool = True   # --ignoreRegions flips off
+    use_hq_region_table: bool = True  # --ignoreHQRegions flips off
+    do_global_alignment: bool = False  # --global: window stretched to the
+    #                                whole read span (BlasrAlignImpl.hpp:645;
+    #                                span widening is always on here)
+    accuracy_prior: float = 0.0    # --accuracyPrior (readAccuracyPrior):
+    #                                overrides the derived accuracy in the
+    #                                anchor-distribution significance gate
+    sam_qv_list: tuple = ()        # --samQV names; () = all present tracks
     min_ratio: float = 0.25
     min_fraction_to_be_considered_overlapping: float = 0.75
 
@@ -173,7 +186,8 @@ class MappingParams:
         """Cross-field normalization, mirroring MakeSane()
         (iblasr/MappingParameters.h:390-689) for the fields we model."""
         p = dataclasses.replace(self)
-        # nucmer emulation preset (MappingParameters.h:717-726)
+        # nucmer emulation preset (SetEmulateNucmer,
+        # MappingParameters.h:717-726)
         if p.emulate_nucmer:
             p.min_match_length = 30
             p.max_score = -200
@@ -181,6 +195,19 @@ class MappingParams:
             p.n_candidates = 1
             p.max_match_length = 30  # maxLCPLength = 30
             p.cigar_use_seq_match = True
+            p.advance_exact_matches = 30
+            p.max_anchors_per_position = 1
+            p.sdp_bypass_threshold = 0.75
+            p.sdp_tuple_size = 15
+            p.refine_alignments = False
+        # placeRepeatsRandomly forces the randombest hit policy
+        # (MakeSane, MappingParameters.h:466-468)
+        if p.place_randomly and p.hit_policy != "randombest":
+            import sys as _s
+            _s.stderr.write(
+                "Warning: placeRepeatsRandomly is deprecated, resetting "
+                "hit policy to randombest.\n")
+            p.hit_policy = "randombest"
         # raw subread score lives in [0, 1000] (MakeSane :674-676)
         if p.min_raw_subread_score > 1000:
             p.min_raw_subread_score = 1000

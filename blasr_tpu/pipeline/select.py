@@ -192,7 +192,9 @@ def num_significant_clusters(alns: List[Alignment], cluster_bases,
         return 0
     best = min(alns, key=lambda a: a.score)
     L = max(best.qend - best.qstart, 1)
-    p_acc = min(max(best.pct_similarity / 100.0, 0.75), 0.999)
+    prior = getattr(params, "accuracy_prior", 0.0)
+    p_acc = (min(max(prior, 0.75), 0.999) if prior > 0
+             else min(max(best.pct_similarity / 100.0, 0.75), 0.999))
     e = 1.0 - p_acc
     mean_ab = L * e * (p_acc ** k) * (k + p_acc / e)
     sd_ab = mean_ab / 4.0

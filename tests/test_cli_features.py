@@ -109,3 +109,66 @@ def test_sam_subread_context_threading(world, tmp_path):
     assert linked, body
     for f in linked:
         assert int(f[7]) > 0  # PNEXT set (1-based)
+
+
+def test_loud_rejects_for_unsupported_flags(world, capsys):
+    d, contigs = world
+    a = [str(d / "reads.fa"), str(d / "genome.fa")]
+    assert run(a + ["--scoreType", "1"]) == 1
+    assert run(a + ["--ccsFofn", "x.fofn"]) == 1
+    assert run(a + ["--lcpBounds", "b.txt"]) == 1
+    assert run(a + ["--samplePaths"]) == 1
+
+
+def test_min_avg_qual_gate(world, tmp_path):
+    """--minAvgQual drops quality-carrying reads below the threshold
+    (IsGoodRead, Blasr.cpp:81); reads without QVs are exempt."""
+    d, contigs = world
+    g = contigs[0].seq
+    recs = [
+        FastaRecord("m/0/0_400", g[1000:1400].copy(),
+                    np.full(400, 30, np.int32)),
+        FastaRecord("m/1/0_400", g[3000:3400].copy(),
+                    np.full(400, 5, np.int32)),
+    ]
+    rd = tmp_path / "r.fq"
+    with open(rd, "w") as f:
+        for r in recs:
+            f.write(f"@{r.name}\n")
+            f.write("".join("ACGTN"[c] for c in r.seq) + "\n+\n")
+            f.write("".join(chr(q + 33) for q in r.qual) + "\n")
+    out = tmp_path / "o.m4"
+    assert run([str(rd), str(d / "genome.fa"), "-m", "4",
+                "--minAvgQual", "10", "--out", str(out)]) == 0
+    names = {l.split()[0] for l in open(out)}
+    assert any(n.startswith("m/0") for n in names)
+    assert not any(n.startswith("m/1") for n in names)
+
+
+def test_samqv_subset_tags(world, tmp_path):
+    """--samQV restricts printed QV tags to the named tracks and implies
+    --printSAMQV (samQVList.UseQV, MappingParameters.h:666-670)."""
+    from blasr_tpu.io.bam import BamWriter
+    from blasr_tpu.io.hdf import write_bax, ZmwRead
+    d, contigs = world
+    rng = np.random.default_rng(5)
+    g = contigs[0].seq
+    seq = g[2000:2500].copy()
+    tracks = {n: rng.integers(5, 40, len(seq)).astype(np.uint8)
+              for n in ("QualityValue", "InsertionQV", "DeletionQV",
+                        "SubstitutionQV")}
+    bx = tmp_path / "m1.bax.h5"
+    regions = [[7, 1, 0, len(seq), 900], [7, 2, 0, len(seq), 900]]
+    write_bax(str(bx), "m1", [ZmwRead(7, seq, tracks)],
+              np.asarray(regions, np.int32))
+    out_all = tmp_path / "all.sam"
+    out_sub = tmp_path / "sub.sam"
+    assert run([str(bx), str(d / "genome.fa"), "--sam", "--printSAMQV",
+                "--minReadLength", "50", "--out", str(out_all)]) == 0
+    assert run([str(bx), str(d / "genome.fa"), "--sam",
+                "--samQV", "InsertionQV",
+                "--minReadLength", "50", "--out", str(out_sub)]) == 0
+    rec_all = [l for l in open(out_all) if not l.startswith("@")][0]
+    rec_sub = [l for l in open(out_sub) if not l.startswith("@")][0]
+    assert "iq:Z:" in rec_all and "dq:Z:" in rec_all
+    assert "iq:Z:" in rec_sub and "dq:Z:" not in rec_sub

@@ -55,6 +55,12 @@ WIRED = {
     "max_read_length": "Mapper.map_reads",
     "min_subread_length": "cli HDF extraction",
     "min_raw_subread_score": "cli HDF extraction (HQ-region score gate)",
+    "min_avg_qual": "cli read-intake average-quality gate",
+    "place_randomly": "make_sane: forces randombest hit policy",
+    "use_region_table": "cli HDF extraction (--ignoreRegions)",
+    "use_hq_region_table": "cli HDF extraction (--ignoreHQRegions)",
+    "accuracy_prior": "select.num_significant_clusters p_acc override",
+    "sam_qv_list": "io/formats samQV tag subset",
     "min_fraction_to_be_considered_overlapping": "select partition",
     "store_map_qv": "cli emit (--noStoreMapQV)",
     "scale_mapqv_by_num_significant_clusters": "select",
@@ -96,6 +102,8 @@ WIRED = {
 # defaults match reference behavior, and the CLI rejects/warns on
 # requests for the unsupported alternative where one exists.
 STRUCTURAL = {
+    "do_global_alignment": "window spans widen to the read ends "
+                           "unconditionally here (commit 93a895a)",
     "warp": "warp chaining is the only formulation; --nowarp rejected",
     "global_chain_type": "CLI rejects values != 0",
     "refine_alignments": "refinement is fused into the banded DP",
@@ -150,7 +158,8 @@ def test_wired_fields_are_actually_read():
     # fields consumed at the CLI argument level or inside make_sane
     # rather than via a params attribute read elsewhere
     exempt = {"expand", "lookup_table_length", "emulate_nucmer",
-              "map_subreads_separately", "print_unaligned"}
+              "map_subreads_separately", "print_unaligned",
+              "place_randomly"}
     missing = [f for f in WIRED
                if not re.search(rf"\.{f}\b|\"{f}\"", text)
                and f not in exempt]
