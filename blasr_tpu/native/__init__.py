@@ -62,6 +62,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+            lib.cigar_from_pairs_batch.restype = ctypes.c_int64
+            lib.cigar_from_pairs_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
             _lib = lib
             return _lib
         except OSError:
@@ -121,6 +128,42 @@ def cigar_native(words: np.ndarray, allow_adjacent: bool):
     # ~10x slower than the C call itself
     return list(zip(map(_OPSYM.__getitem__, ops[:n].tolist()),
                     cnts[:n].tolist()))
+
+
+def cigar_native_batch(words: np.ndarray, slots: np.ndarray,
+                       allow_adjacent: bool):
+    """Decode many RL traceback rows in one native call.  words: int32
+    [n_rows, row_words]; slots: row indices to decode.  Returns
+    (ops uint8 [total], counts int32 [total], offsets int64 [len(slots)+1])
+    — runs for slot j live at offsets[j]:offsets[j+1] — or None if the
+    extension is unavailable.  Run-for-run identical to per-row
+    cigar_native."""
+    lib = _lib if _lib is not None else get_lib()
+    if lib is None or not hasattr(lib, "cigar_from_pairs_batch"):
+        return None
+    p = np.ascontiguousarray(words, dtype=np.int32)
+    s = np.ascontiguousarray(slots, dtype=np.int64)
+    max_total = int(s.size) * (p.shape[1] * 2 + 1)
+    ops = np.empty(max_total, dtype=np.uint8)
+    cnts = np.empty(max_total, dtype=np.int32)
+    offs = np.empty(s.size + 1, dtype=np.int64)
+    n = lib.cigar_from_pairs_batch(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(p.shape[1]),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(s.size), ctypes.c_int(1 if allow_adjacent else 0),
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(max_total))
+    if n < 0:
+        return None
+    return ops, cnts, offs
+
+
+def runs_to_list(ops: np.ndarray, cnts: np.ndarray):
+    """[(op_char, count), ...] from raw run arrays (cigar_native_batch)."""
+    return list(zip(map(_OPSYM.__getitem__, ops.tolist()), cnts.tolist()))
 
 
 def bwt_invert_native(bwt: np.ndarray, sentinel: int) -> Optional[np.ndarray]:

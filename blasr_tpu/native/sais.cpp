@@ -164,13 +164,24 @@ int bwt_invert_u8(const uint8_t* bwt, int64_t n, uint8_t sentinel,
 // runs), matching the Python pairs_to_cigar + merge_adjacent_indels
 // semantics exactly.
 // out_ops: 1 M, 2 I, 3 D, 4 X.  Returns the run count, or -1 on overflow.
-int64_t cigar_from_pairs(const uint32_t* words, int64_t nwords,
-                         int allow_adjacent,
+namespace {
+
+// scratch reused across calls (one set per thread) so the per-alignment
+// cost is decode work, not allocator churn
+struct CigarScratch {
+    std::vector<uint8_t> ops, rops, o2;
+    std::vector<int32_t> cnt, rcnt, c2;
+};
+
+int64_t cigar_decode_one(const uint32_t* words, int64_t nwords,
+                         int allow_adjacent, CigarScratch& sc,
                          uint8_t* out_ops, int32_t* out_counts,
                          int64_t max_runs) {
     // decode end-first pairs, stop at op 0, build runs in reverse order
-    std::vector<uint8_t> ops;
-    std::vector<int32_t> cnt;
+    auto& ops = sc.ops;
+    auto& cnt = sc.cnt;
+    ops.clear();
+    cnt.clear();
     for (int64_t i = 0; i < 2 * nwords; i++) {
         uint32_t h = (i & 1) ? (words[i >> 1] >> 16) : (words[i >> 1] & 0xFFFF);
         uint8_t op = (uint8_t)(h & 3);
@@ -184,15 +195,19 @@ int64_t cigar_from_pairs(const uint32_t* words, int64_t nwords,
         }
     }
     // reverse to alignment order
-    std::vector<uint8_t> rops(ops.rbegin(), ops.rend());
-    std::vector<int32_t> rcnt(cnt.rbegin(), cnt.rend());
+    auto& rops = sc.rops;
+    auto& rcnt = sc.rcnt;
+    rops.assign(ops.rbegin(), ops.rend());
+    rcnt.assign(cnt.rbegin(), cnt.rend());
     if (!allow_adjacent) {
         // iterate until no adjacent I/D (or D/I) pairs remain
         bool changed = true;
         while (changed) {
             changed = false;
-            std::vector<uint8_t> o2;
-            std::vector<int32_t> c2;
+            auto& o2 = sc.o2;
+            auto& c2 = sc.c2;
+            o2.clear();
+            c2.clear();
             size_t i = 0;
             auto push = [&](uint8_t op, int32_t n) {
                 if (!o2.empty() && o2.back() == op) c2.back() += n;
@@ -219,11 +234,44 @@ int64_t cigar_from_pairs(const uint32_t* words, int64_t nwords,
         }
     }
     if ((int64_t)rops.size() > max_runs) return -1;
-    for (size_t i = 0; i < rops.size(); i++) {
-        out_ops[i] = rops[i];
-        out_counts[i] = rcnt[i];
-    }
+    std::memcpy(out_ops, rops.data(), rops.size());
+    std::memcpy(out_counts, rcnt.data(), rcnt.size() * sizeof(int32_t));
     return (int64_t)rops.size();
+}
+
+}  // namespace
+
+int64_t cigar_from_pairs(const uint32_t* words, int64_t nwords,
+                         int allow_adjacent,
+                         uint8_t* out_ops, int32_t* out_counts,
+                         int64_t max_runs) {
+    static thread_local CigarScratch sc;
+    return cigar_decode_one(words, nwords, allow_adjacent, sc,
+                            out_ops, out_counts, max_runs);
+}
+
+// Batched variant: one call decodes many traceback rows of a [n_rows,
+// row_words] matrix.  slots[j] selects the row for output j; runs are
+// emitted contiguously with out_offsets[j]..out_offsets[j+1] delimiting
+// output j (out_offsets has n_slots+1 entries).  Returns the total run
+// count, or -1 if max_total would be exceeded.
+int64_t cigar_from_pairs_batch(const uint32_t* words, int64_t row_words,
+                               const int64_t* slots, int64_t n_slots,
+                               int allow_adjacent,
+                               uint8_t* out_ops, int32_t* out_counts,
+                               int64_t* out_offsets, int64_t max_total) {
+    static thread_local CigarScratch sc;
+    int64_t total = 0;
+    out_offsets[0] = 0;
+    for (int64_t j = 0; j < n_slots; j++) {
+        int64_t n = cigar_decode_one(
+            words + slots[j] * row_words, row_words, allow_adjacent, sc,
+            out_ops + total, out_counts + total, max_total - total);
+        if (n < 0) return -1;
+        total += n;
+        out_offsets[j + 1] = total;
+    }
+    return total;
 }
 
 // s: byte string; the wrapper appends a unique 0 sentinel internally, so

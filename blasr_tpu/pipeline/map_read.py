@@ -646,6 +646,65 @@ class Alignment:
         return (self.qend - self.qstart) * 128
 
 
+# placeholder CIGAR for alignments awaiting batched assembly: truthy (the
+# has-blocks bit is known before assembly) and visibly bogus if it leaks
+_CIGAR_PENDING: List = [("?", -1)]
+
+
+class LazyCigar:
+    """CIGAR runs held as raw (op-code, count) arrays; the [(op_char, n),
+    ...] tuple list materializes on first element access and is cached.
+
+    Building the tuple list is the single largest host cost of the
+    mapping loop (~0.4 ms for a noisy 2 kb alignment with ~1400 runs),
+    and the loop itself only ever needs truthiness/len — which this
+    answers from the array shape.  Printing/rescoring of the alignments
+    that survive hit selection pays materialization, exactly once."""
+
+    __slots__ = ("_ops", "_cnts", "_list")
+
+    def __init__(self, ops: np.ndarray, cnts: np.ndarray):
+        self._ops = ops
+        self._cnts = cnts
+        self._list = None
+
+    def _mat(self) -> List:
+        if self._list is None:
+            from blasr_tpu.native import runs_to_list
+            self._list = runs_to_list(self._ops, self._cnts)
+        return self._list
+
+    def __len__(self):
+        return int(self._ops.shape[0])
+
+    def __bool__(self):
+        return self._ops.shape[0] > 0
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __add__(self, other):
+        return self._mat() + list(other)
+
+    def __radd__(self, other):
+        return list(other) + self._mat()
+
+    def __eq__(self, other):
+        if isinstance(other, LazyCigar):
+            other = other._mat()
+        return self._mat() == other
+
+    def __repr__(self):
+        return f"LazyCigar({self._mat()!r})"
+
+    def arrays(self):
+        """(op codes uint8 [n] per 1=M 2=I 3=D 4=X, counts int32 [n])."""
+        return self._ops, self._cnts
+
+
 def unpack_pairs(words: np.ndarray):
     """RL traceback words (one TracebackResult.pairs row) -> (ops, counts)
     end-first.  Each int32 word holds two uint16 halves (low first), each
@@ -876,8 +935,7 @@ class Mapper:
                     # dense bound, which can never overflow
                     with self.metrics.clock("mapToGenome"):
                         res = unpack_batch(dispatch(arr, lens, tb_cap=T))
-                for i, r in enumerate(group):
-                    out.append(self._collect(res, i, B, r, int(lens[i])))
+                out.extend(self._collect_batch(res, group, lens, B))
             self.metrics.add("numReads", len(group))
             self.metrics.add("totalAnchors", int(res.n_anchors.sum()))
             self.metrics.add("totalCandidates", int(res.valid.sum()))
@@ -886,90 +944,147 @@ class Mapper:
                 * cfg.band_width)
         return out
 
-    def _collect(self, res: BatchResult, i: int, B: int, rec: FastaRecord,
-                 rlen: int) -> List[Alignment]:
-        alns: List[Alignment] = []
+    def _collect_batch(self, res: BatchResult, group: Sequence[FastaRecord],
+                       lens: np.ndarray, B: int) -> List[List[Alignment]]:
+        """Collect one batch's alignments (the host side of the per-ZMW
+        print loop, Blasr.cpp:832-840): a vectorized candidate survey,
+        per-read pruning on cheap fields, then ONE native call assembling
+        every surviving CIGAR (run-for-run identical to the per-candidate
+        path; tests/test_pipeline.py pins the decoder)."""
         p = self.params
-        self._anchor_totals[id(rec)] = (
-            int(res.n_anchors[i]) + int(res.n_anchors[i + B]),
-            int(res.n_clipped[i]) + int(res.n_clipped[i + B]))
-        for strand in (0, 1):
-            if strand == 1 and p.forward_only:
-                continue
-            row = i + strand * B
-            for c in range(res.score.shape[1]):
-                if not res.valid[row, c]:
-                    continue
-                qa, qb = int(res.q_start[row, c]), int(res.q_end[row, c])
-                ts, te = int(res.t_start[row, c]), int(res.t_end[row, c])
-                ci, tpos = self.gi.seqdb.genome_to_chrom(ts)
-                lo, hi = self.gi.seqdb.contig_bounds(ci)
-                if te > hi:  # window crossed a contig boundary; drop
-                    continue
-                slot = int(res.dp_slot[row, c])
-                if slot < 0:
-                    continue
-                cigar = None
-                try:
-                    from blasr_tpu.native import cigar_native
-                    cigar = cigar_native(res.ops[slot],
-                                         p.allow_adjacent_indels)
-                except Exception:
-                    cigar = None
-                if cigar is None:
-                    cigar = pairs_to_cigar(res.ops[slot])
-                    if not p.allow_adjacent_indels:
-                        cigar = merge_adjacent_indels(cigar)
-                if p.cigar_use_seq_match:
-                    from blasr_tpu.io.fasta import revcomp
-                    oq = rec.seq if strand == 0 else revcomp(rec.seq[:rlen])
-                    gs = self.gi.seqdb.chrom_to_genome(ci, tpos)
-                    cigar = split_match_runs(
-                        cigar, oq[qa:qb],
-                        self.gi.genome[gs:gs + (te - lo - tpos)])
-                if strand == 0:
-                    qs, qe = qa, qb
-                else:
-                    qs, qe = rlen - qb, rlen - qa
-                alns.append(Alignment(
-                    qname=rec.name if rec.name else f"read/{i}",
-                    qlen=rlen, qstart=qs, qend=qe, strand=strand,
-                    tindex=ci, tname=self.gi.seqdb.names[ci],
-                    tlen=int(self.gi.seqdb.lengths[ci]),
-                    tstart=tpos, tend=te - lo,
-                    score=float(res.score[row, c]),
-                    n_match=int(res.n_match[row, c]),
-                    n_mismatch=int(res.n_mismatch[row, c]),
-                    n_ins=int(res.n_ins[row, c]),
-                    n_del=int(res.n_del[row, c]),
-                    cigar=cigar, read=rec.seq, qual=rec.qual,
-                    tracks=getattr(rec, "tracks", None),
-                    cluster_weight=float(res.chain_score[row, c]),
-                ))
-        # alignment-level pruning (RemoveLowQualitySDPAlignments /
-        # RemoveLowQualityAlignments / RemoveOverlappingAlignments,
-        # BlasrUtilsImpl.hpp:447-605)
+        seqdb = self.gi.seqdb
+        C = res.score.shape[1]
+        valid = res.valid & (res.dp_slot >= 0)
+        if p.forward_only:
+            valid[B:] = False
+        # contig lookup + boundary-crossing drop: one searchsorted for the
+        # whole batch instead of one per candidate
+        starts = seqdb.starts
+        ci = np.clip(np.searchsorted(starts, res.t_start, side="right") - 1,
+                     0, seqdb.n_contigs - 1)
+        lo = starts[ci]
+        valid &= res.t_end <= lo + seqdb.lengths[ci]
+        # bulk scalar conversion: list indexing in the loops below is ~10x
+        # cheaper than per-element numpy scalar reads
+        valid_l = valid.tolist()
+        qa_l, qb_l = res.q_start.tolist(), res.q_end.tolist()
+        te_l, lo_l = res.t_end.tolist(), lo.tolist()
+        ts_l = res.t_start.tolist()
+        sc_l, ch_l = res.score.tolist(), res.chain_score.tolist()
+        nm_l, nx_l = res.n_match.tolist(), res.n_mismatch.tolist()
+        ni_l, nd_l = res.n_ins.tolist(), res.n_del.tolist()
+        ci_l, slot_l = ci.tolist(), res.dp_slot.tolist()
+        # an empty traceback (no blocks) starts with op 0 in halfword 0
+        has_runs = ((res.ops[:, 0] & 3) != 0).tolist()
+        names, tlens = seqdb.names, seqdb.lengths
         from blasr_tpu.pipeline.select import (
             num_significant_clusters, prune_alignments)
-        alns = prune_alignments(alns, p, read_len=rlen)
-        # anchor-distribution significance gate -> numSignificantClusters
-        # (BlasrAlignImpl.hpp:391-488); the cluster list is the gate-passing
-        # examined-cluster chain weights of both strands
-        cl = np.concatenate([
-            res.cluster_bases[i][res.cluster_valid[i]],
-            res.cluster_bases[i + B][res.cluster_valid[i + B]]])
-        nsig = num_significant_clusters(alns, cl, p, k=self.gi.k)
-        for a in alns:
-            a.n_candidates = len(alns)
-            a.n_significant_clusters = nsig
-        if self.params.verbosity >= 1 and alns:
+        out: List[List[Alignment]] = []
+        deferred: List[tuple] = []  # (alignment, traceback slot)
+        for i, rec in enumerate(group):
+            rlen = int(lens[i])
+            self._anchor_totals[id(rec)] = (
+                int(res.n_anchors[i]) + int(res.n_anchors[i + B]),
+                int(res.n_clipped[i]) + int(res.n_clipped[i + B]))
+            alns: List[Alignment] = []
+            slot_of: Dict[int, int] = {}
+            for strand in (0, 1):
+                row = i + strand * B
+                vrow, qar, qbr = valid_l[row], qa_l[row], qb_l[row]
+                for c in range(C):
+                    if not vrow[c]:
+                        continue
+                    qa, qb = qar[c], qbr[c]
+                    cidx = ci_l[row][c]
+                    clo = lo_l[row][c]
+                    slot = slot_l[row][c]
+                    if strand == 0:
+                        qs, qe = qa, qb
+                    else:
+                        qs, qe = rlen - qb, rlen - qa
+                    a = Alignment(
+                        qname=rec.name if rec.name else f"read/{i}",
+                        qlen=rlen, qstart=qs, qend=qe, strand=strand,
+                        tindex=cidx, tname=names[cidx],
+                        tlen=int(tlens[cidx]),
+                        tstart=ts_l[row][c] - clo, tend=te_l[row][c] - clo,
+                        score=float(sc_l[row][c]),
+                        n_match=nm_l[row][c], n_mismatch=nx_l[row][c],
+                        n_ins=ni_l[row][c], n_del=nd_l[row][c],
+                        cigar=_CIGAR_PENDING if has_runs[slot] else [],
+                        read=rec.seq, qual=rec.qual,
+                        tracks=getattr(rec, "tracks", None),
+                        cluster_weight=float(ch_l[row][c]),
+                    )
+                    alns.append(a)
+                    slot_of[id(a)] = slot
+            # alignment-level pruning (RemoveLowQualitySDPAlignments /
+            # RemoveLowQualityAlignments / RemoveOverlappingAlignments,
+            # BlasrUtilsImpl.hpp:447-605); needs no CIGAR beyond the
+            # has-blocks bit, so assembly is deferred to the survivors
+            alns = prune_alignments(alns, p, read_len=rlen)
+            deferred.extend((a, slot_of[id(a)]) for a in alns)
+            # anchor-distribution significance gate ->
+            # numSignificantClusters (BlasrAlignImpl.hpp:391-488); the
+            # cluster list is the gate-passing examined-cluster chain
+            # weights of both strands
+            cl = np.concatenate([
+                res.cluster_bases[i][res.cluster_valid[i]],
+                res.cluster_bases[i + B][res.cluster_valid[i + B]]])
+            nsig = num_significant_clusters(alns, cl, p, k=self.gi.k)
+            for a in alns:
+                a.n_candidates = len(alns)
+                a.n_significant_clusters = nsig
+            out.append(alns)
+        self._materialize_cigars(res.ops, deferred)
+        if p.verbosity >= 1:
             # interval prints (reference -V, BlasrAlignImpl.hpp:260-277)
             import sys
-            for a in alns:
-                sys.stderr.write(
-                    f"interval {a.qname} {a.qstart} {a.qend} {a.tname} "
-                    f"{a.tstart} {a.tend} {int(a.score)} {a.strand}\n")
-        return alns
+            for alns in out:
+                for a in alns:
+                    sys.stderr.write(
+                        f"interval {a.qname} {a.qstart} {a.qend} {a.tname} "
+                        f"{a.tstart} {a.tend} {int(a.score)} {a.strand}\n")
+        return out
+
+    def _materialize_cigars(self, ops: np.ndarray,
+                            deferred: List[tuple]) -> None:
+        """Assemble CIGAR runs for (alignment, slot) pairs — one native
+        call for the whole batch, per-slot fallback without the
+        extension."""
+        if not deferred:
+            return
+        p = self.params
+        batch = None
+        try:
+            from blasr_tpu.native import cigar_native_batch
+            slots = np.fromiter((s for _, s in deferred), dtype=np.int64,
+                                count=len(deferred))
+            batch = cigar_native_batch(ops, slots, p.allow_adjacent_indels)
+        except Exception:
+            batch = None
+        if batch is not None:
+            ops_b, cnt_b, offs = batch
+            for j, (a, _) in enumerate(deferred):
+                a.cigar = LazyCigar(ops_b[offs[j]:offs[j + 1]],
+                                    cnt_b[offs[j]:offs[j + 1]])
+        else:
+            for a, slot in deferred:
+                cg = pairs_to_cigar(ops[slot])
+                if not p.allow_adjacent_indels:
+                    cg = merge_adjacent_indels(cg)
+                a.cigar = cg
+        if p.cigar_use_seq_match:
+            from blasr_tpu.io.fasta import revcomp
+            for a, _ in deferred:
+                if a.strand == 0:
+                    oq, qa = a.read, a.qstart
+                else:
+                    oq, qa = revcomp(a.read[:a.qlen]), a.qlen - a.qend
+                gs = self.gi.seqdb.chrom_to_genome(a.tindex, a.tstart)
+                a.cigar = split_match_runs(
+                    a.cigar, oq[qa:qa + (a.qend - a.qstart)],
+                    self.gi.genome[gs:gs + (a.tend - a.tstart)])
 
     def _expanded(self, expand: int) -> "Mapper":
         """Mapper with anchoring loosened by 2^expand (the reference's

@@ -29,6 +29,8 @@ import numpy as np
 
 OP_M, OP_I, OP_D = 0, 1, 2
 _OPC = {"M": OP_M, "=": OP_M, "X": OP_M, "I": OP_I, "D": OP_D}
+# native run codes (1 M / 2 I / 3 D / 4 X) -> column op codes
+_RAWC = np.array([0, OP_M, OP_I, OP_D, OP_M], dtype=np.int64)
 
 
 @dataclass
@@ -53,8 +55,16 @@ def expand_cigar(cigar, qa: int, ta: int):
     if not cigar:
         z = np.zeros(0, np.int64)
         return z, z, z
-    ops = np.asarray([_OPC[op] for op, _ in cigar], np.int64)
-    counts = np.asarray([n for _, n in cigar], np.int64)
+    raw = getattr(cigar, "arrays", None)
+    if raw is not None:
+        # LazyCigar fast path: map the native run codes (1 M / 2 I / 3 D /
+        # 4 X) straight to column op codes, skipping tuple materialization
+        rops, counts = raw()
+        ops = _RAWC[rops].astype(np.int64)
+        counts = counts.astype(np.int64)
+    else:
+        ops = np.asarray([_OPC[op] for op, _ in cigar], np.int64)
+        counts = np.asarray([n for _, n in cigar], np.int64)
     opc = np.repeat(ops, counts)
     dq = (opc != OP_D).astype(np.int64)
     dt = (opc != OP_I).astype(np.int64)
