@@ -145,6 +145,69 @@ def test_min_avg_qual_gate(world, tmp_path):
     assert not any(n.startswith("m/1") for n in names)
 
 
+def test_unaligned_listing(world, tmp_path):
+    """--unaligned lists reads with no reported alignment; with
+    --noPrintUnalignedSeqs names only (PrintUnaligned,
+    BlasrUtilsImpl.hpp:1098-1114; ctest/unaligned.t)."""
+    d, contigs = world
+    rng = np.random.default_rng(99)
+    junk = rng.integers(0, 4, 400).astype(np.int8)  # random, unmappable
+    g = contigs[0].seq
+    recs = [FastaRecord("m/0/0_400", g[5000:5400].copy()),
+            FastaRecord("m/1/0_400", junk)]
+    rd = tmp_path / "mix.fa"
+    write_fasta(rd, recs)
+    out = tmp_path / "o.m4"
+    un = tmp_path / "un.txt"
+    assert run([str(rd), str(d / "genome.fa"), "-m", "4",
+                "--out", str(out), "--unaligned", str(un)]) == 0
+    mapped = {l.split()[0] for l in open(out)}
+    body = un.read_text()
+    assert "m/1/0_400" in body and "m/1/0_400" not in mapped
+    assert "m/0/0_400" not in body
+    assert body.startswith(">")  # sequence printed by default
+    assert run([str(rd), str(d / "genome.fa"), "-m", "4",
+                "--out", str(out), "--unaligned", str(un),
+                "--noPrintUnalignedSeqs"]) == 0
+    assert un.read_text() == "m/1/0_400\n"
+
+
+def test_fofn_input_and_stride_shards(world, tmp_path):
+    """FOFN input maps the concatenation of its files; --start/--stride
+    shards partition the read set exactly (ctest/fofn.t; ReaderAgglomerate
+    startRead/stride, Blasr.cpp:1270)."""
+    d, contigs = world
+    full = tmp_path / "full.m4"
+    assert run([str(d / "reads.fa"), str(d / "genome.fa"), "-m", "4",
+                "--out", str(full)]) == 0
+    want = sorted(open(full).read().splitlines())
+    assert want
+    # split reads across two files named by a fofn
+    recs = list(_read_fasta_records(d / "reads.fa"))
+    write_fasta(tmp_path / "a.fa", recs[:3])
+    write_fasta(tmp_path / "b.fa", recs[3:])
+    fofn = tmp_path / "reads.fofn"
+    fofn.write_text(f"{tmp_path}/a.fa\n{tmp_path}/b.fa\n")
+    out = tmp_path / "fofn.m4"
+    assert run([str(fofn), str(d / "genome.fa"), "-m", "4",
+                "--out", str(out)]) == 0
+    assert sorted(open(out).read().splitlines()) == want
+    # stride shards partition the fofn-expanded read list
+    got = []
+    for s in (0, 1):
+        o = tmp_path / f"shard{s}.m4"
+        assert run([str(fofn), str(d / "genome.fa"), "-m", "4",
+                    "--start", str(s), "--stride", "2",
+                    "--out", str(o)]) == 0
+        got += open(o).read().splitlines()
+    assert sorted(got) == want
+
+
+def _read_fasta_records(path):
+    from blasr_tpu.io.fasta import read_fasta
+    return read_fasta(str(path))
+
+
 def test_samqv_subset_tags(world, tmp_path):
     """--samQV restricts printed QV tags to the named tracks and implies
     --printSAMQV (samQVList.UseQV, MappingParameters.h:666-670)."""

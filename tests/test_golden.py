@@ -40,6 +40,9 @@ CASES = [
     ("sam.hard", "small", ["--sam", "--clipping", "hard"]),
     ("sam.subread", "small", ["--sam", "--clipping", "subread"]),
     ("m4.bwt", "small_bwt", ["-m", "4"]),
+    # -- custom score function (ctest/alignScore.t role) --
+    ("m4.scores", "small", ["-m", "4", "--match", "-2", "--mismatch", "3",
+                            "--insertion", "6", "--deletion", "7"]),
     # -- E. coli-scale world (4.6 Mbp, 10 reads): long deletions, ends --
     ("m4.big", "big", ["-m", "4"]),
     ("sam.big", "big", ["--sam", "--clipping", "soft"]),
