@@ -484,7 +484,19 @@ def run(argv: Optional[List[str]] = None) -> int:
     reads = []
     from blasr_tpu.io.fasta import sniff_format
     ccs_groups = []
+    in_paths = []
     for path in expand_file_name_list([args.reads]):
+        try:
+            if sniff_format(path) == "hdf":
+                # multipart bas.h5 (/MultiPart/Parts) expands to its
+                # bax.h5 parts (ctest/multipart.t)
+                from blasr_tpu.io.hdf import expand_multipart
+                in_paths.extend(expand_multipart(path))
+                continue
+        except OSError:
+            pass  # unopenable: the intake loop below warns and skips
+        in_paths.append(path)
+    for path in in_paths:
         try:
             if sniff_format(path) == "hdf":
                 # HDF inputs honor -noSplitSubreads at extraction time

@@ -36,6 +36,27 @@ TAG_TRACKS = ["DeletionTag", "SubstitutionTag"]
 FRAME_TRACKS = ["PreBaseFrames", "WidthInFrames", "MidSignal"]
 
 
+def expand_multipart(path: str) -> List[str]:
+    """A new-style bas.h5 may carry no /PulseData but a /MultiPart/Parts
+    dataset naming its bax.h5 parts (ctest/multipart.t; the reference's
+    HDFBasReader part expansion).  Returns the part paths — relative
+    names resolve against the bas.h5 directory — or [path] when the file
+    is not multipart."""
+    import os
+
+    import h5py
+    try:
+        with h5py.File(path, "r") as f:
+            if "MultiPart/Parts" not in f:
+                return [path]
+            parts = [p.decode() if isinstance(p, bytes) else str(p)
+                     for p in f["MultiPart/Parts"][:]]
+    except OSError:
+        return [path]
+    d = os.path.dirname(os.path.abspath(path))
+    return [p if os.path.isabs(p) else os.path.join(d, p) for p in parts]
+
+
 @dataclass
 class RegionTable:
     """Per-ZMW region rows (HDFRegionTableReader analog)."""

@@ -96,6 +96,36 @@ def test_blasr_maps_bax_input(bax_world, tmp_path):
     assert all(l.split()[0].startswith("m000001/") for l in lines)
 
 
+def test_multipart_bas_expansion(bax_world, tmp_path):
+    """A new-style bas.h5 with /MultiPart/Parts (and no /PulseData) maps
+    the union of its bax.h5 parts (ctest/multipart.t)."""
+    import h5py
+
+    from blasr_tpu.cli.blasr import run
+    from blasr_tpu.io.hdf import expand_multipart
+    d, path, contigs, zmws = bax_world
+    bas = tmp_path / "movie1.bas.h5"
+    with h5py.File(bas, "w") as f:
+        f.create_dataset("MultiPart/Parts",
+                         data=np.array([str(path).encode()]))
+    assert expand_multipart(str(bas)) == [str(path)]
+    assert expand_multipart(str(path)) == [str(path)]  # not multipart
+    out_bas = tmp_path / "bas.m4"
+    out_bax = tmp_path / "bax.m4"
+    assert run([str(bas), str(d / "genome.fa"), "-m", "4",
+                "--minReadLength", "50", "--out", str(out_bas)]) == 0
+    assert run([str(path), str(d / "genome.fa"), "-m", "4",
+                "--minReadLength", "50", "--out", str(out_bax)]) == 0
+    assert out_bas.read_text() == out_bax.read_text()
+    # relative part names resolve against the bas.h5 directory
+    rel = tmp_path / "rel.bas.h5"
+    import shutil
+    shutil.copy(path, tmp_path / "p1.bax.h5")
+    with h5py.File(rel, "w") as f:
+        f.create_dataset("MultiPart/Parts", data=np.array([b"p1.bax.h5"]))
+    assert expand_multipart(str(rel)) == [str(tmp_path / "p1.bax.h5")]
+
+
 def test_min_raw_subread_score_gate(bax_world, tmp_path):
     """--minRawSubreadScore drops every subread of a ZMW whose HQ-region
     score falls below the threshold (bug25766.t contract; the gate is
