@@ -28,6 +28,10 @@ from blasr_tpu.params import MappingParams, ShapeConfig
 
 BIG32 = 0x3FFFFFFF
 
+# bucket shapes already AOT-compiled by Mapper.warmup (module-level: the
+# jit cache is shared across Mapper instances, re-tracing is not)
+_WARMED_SHAPES: set = set()
+
 
 class DeviceIndex(NamedTuple):
     """Genome index resident on device (replicated or per-shard slice)."""
@@ -879,6 +883,70 @@ class Mapper:
         b = budget // (2 * self.cfg.n_candidates * bucket * self.cfg.band_width)
         return int(max(1, min(self.cfg.batch_size, b)))
 
+    def _batch_call_args(self, L: int, tb_cap: int = 0):
+        """(positional args after reads/lens, static kwargs) of the
+        map_batch call for bucket L — shared by dispatch and warmup."""
+        cfg, p = self.cfg, self.params
+        W = cfg.window_len(L)
+        sig = float(np.log(2.0 * max(self.gi.glen, 2) * L))
+        pos = (self.submat, self.gap_costs, np.float32(sig),
+               np.float32(p.min_interval_weight),
+               np.float32(p.sdp_bypass_threshold))
+        kw = dict(
+            cfg_k=self.gi.k, L=L, W=W, w_b=cfg.band_width,
+            C=cfg.n_candidates, A=cfg.max_anchors, O=cfg.occ_per_pos,
+            E=cfg.anchor_ext, T=L + W,
+            max_chain=min(cfg.guide_anchors, cfg.max_anchors),
+            min_match=p.min_match_length,
+            max_anchors_per_pos=p.max_anchors_per_position,
+            max_lcp=p.max_match_length, indel_rate=p.indel_rate,
+            C_dp=cfg.dp_cands, use_pallas=self.use_pallas,
+            p_value_type=p.p_value_type,
+            lookback=self._chain_lookback(),
+            aggressive_cut=p.aggressive_interval_cut,
+            advance_exact=p.advance_exact_matches,
+            k_sdp=min(p.sdp_tuple_size, 16),
+            sdp_occ=1 if p.fast_sdp else 2,
+            between_only=p.refine_between_anchors_only,
+            use_hp=p.affine_align, tb_cap=tb_cap)
+        return pos, kw
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None,
+               n_threads: int = 0) -> None:
+        """Pre-compile the given buckets' map_batch concurrently
+        (default: every configured bucket).
+
+        XLA compilation releases the GIL, so lowering+compiling the
+        bucket shapes in threads overlaps the compiles; with the
+        persistent compilation cache enabled the subsequent jit calls
+        load the cached executables instead of recompiling.  Cuts the
+        multi-bucket cold warmup roughly n_buckets-fold."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _key(L):
+            pos, kw = self._batch_call_args(L)
+            return (self.batch_size_for(L), self.gi.glen, self.gi.k,
+                    tuple(sorted(kw.items())))
+
+        buckets = [b for b in
+                   (self.cfg.buckets if buckets is None else buckets)
+                   if _key(b) not in _WARMED_SHAPES]
+        if len(buckets) < 2:
+            return  # a single compile gains nothing from the fan-out
+        if not n_threads:
+            n_threads = len(buckets)
+
+        def _compile(L):
+            batch = self.batch_size_for(L)
+            arr = jnp.zeros((batch, L), dtype=jnp.int8)
+            lens = jnp.full((batch,), L, dtype=jnp.int32)
+            pos, kw = self._batch_call_args(L)
+            map_batch.lower(self.dev, arr, lens, *pos, **kw).compile()
+            _WARMED_SHAPES.add(_key(L))
+
+        with ThreadPoolExecutor(max_workers=n_threads) as ex:
+            list(ex.map(_compile, buckets))
+
     def _run_bucket(self, recs: Sequence[FastaRecord], bucket: int,
                     batch: int) -> List[List[Alignment]]:
         cfg, p = self.cfg, self.params
@@ -887,29 +955,10 @@ class Mapper:
         T = L + W
         out: List[List[Alignment]] = []
         # phase 1: dispatch every batch (async; device queues the work)
-        sig = float(np.log(2.0 * max(self.gi.glen, 2) * L))
         def dispatch(arr, lens, tb_cap=0):
+            pos, kw = self._batch_call_args(L, tb_cap)
             return map_batch(
-                self.dev, jnp.asarray(arr), jnp.asarray(lens),
-                self.submat, self.gap_costs, np.float32(sig),
-                np.float32(p.min_interval_weight),
-                np.float32(p.sdp_bypass_threshold),
-                cfg_k=self.gi.k, L=L, W=W, w_b=cfg.band_width,
-                C=cfg.n_candidates, A=cfg.max_anchors, O=cfg.occ_per_pos,
-                E=cfg.anchor_ext, T=T,
-                max_chain=min(cfg.guide_anchors, cfg.max_anchors),
-                min_match=p.min_match_length,
-                max_anchors_per_pos=p.max_anchors_per_position,
-                max_lcp=p.max_match_length, indel_rate=p.indel_rate,
-                C_dp=cfg.dp_cands, use_pallas=self.use_pallas,
-                p_value_type=p.p_value_type,
-                lookback=self._chain_lookback(),
-                aggressive_cut=p.aggressive_interval_cut,
-                advance_exact=p.advance_exact_matches,
-                k_sdp=min(p.sdp_tuple_size, 16),
-                sdp_occ=1 if p.fast_sdp else 2,
-                between_only=p.refine_between_anchors_only,
-                use_hp=p.affine_align, tb_cap=tb_cap)
+                self.dev, jnp.asarray(arr), jnp.asarray(lens), *pos, **kw)
 
         pending = []
         for base in range(0, len(recs), batch):
@@ -1119,6 +1168,10 @@ class Mapper:
         # reference's expand loop starts there, BlasrAlignImpl.hpp:24,
         # RegisterBlasrOptions.h --minExpand)
         first = self if p.min_expand == 0 else self._expanded(p.min_expand)
+        if len(buckets) > 1:
+            # compile the used buckets concurrently (XLA releases the
+            # GIL): cold multi-bucket warmup in max() not sum() time
+            first.warmup(sorted(buckets))
         for b, items in sorted(buckets.items()):
             batch = first.batch_size_for(b)
             results = first._run_bucket([r for _, r in items], b, batch)
