@@ -145,6 +145,45 @@ def test_min_avg_qual_gate(world, tmp_path):
     assert not any(n.startswith("m/1") for n in names)
 
 
+def test_cigar_use_seq_match(world, tmp_path):
+    """--cigarUseSeqMatch emits '='/'X' instead of 'M', and every '='
+    column really matches the reference while every 'X' differs
+    (SAMPrinter seq-match mode, RegisterBlasrOptions.h)."""
+    import re
+    d, contigs = world
+    out = tmp_path / "o.sam"
+    assert run([str(d / "reads.fa"), str(d / "genome.fa"), "--sam",
+                "--cigarUseSeqMatch", "--clipping", "soft",
+                "--out", str(out)]) == 0
+    genome = {c.name: "".join("ACGTN"[b] for b in c.seq) for c in contigs}
+    recs = [l.split("\t") for l in open(out) if not l.startswith("@")]
+    assert recs
+    strands = set()
+    for f in recs:
+        cig = f[5]
+        assert "M" not in cig, cig
+        strands.add(int(f[1]) & 16)
+        ref = genome[f[2]]
+        qi, ti = 0, int(f[3]) - 1
+        seq = f[9]
+        for n, op in re.findall(r"(\d+)([=XIDS])", cig):
+            n = int(n)
+            if op == "=":
+                assert seq[qi:qi + n] == ref[ti:ti + n], (f[0], qi, ti)
+                qi += n
+                ti += n
+            elif op == "X":
+                assert all(seq[qi + j] != ref[ti + j] for j in range(n))
+                qi += n
+                ti += n
+            elif op in "IS":
+                qi += n
+            else:
+                ti += n
+        assert qi == len(seq)
+    assert strands == {0, 16}  # both strands exercised
+
+
 def test_unaligned_listing(world, tmp_path):
     """--unaligned lists reads with no reported alignment; with
     --noPrintUnalignedSeqs names only (PrintUnaligned,
