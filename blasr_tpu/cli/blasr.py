@@ -484,44 +484,36 @@ def run(argv: Optional[List[str]] = None) -> int:
     reads = []
     from blasr_tpu.io.fasta import sniff_format
     ccs_groups = []
-    in_paths = []
     for path in expand_file_name_list([args.reads]):
         try:
             if sniff_format(path) == "hdf":
-                # multipart bas.h5 (/MultiPart/Parts) expands to its
-                # bax.h5 parts (ctest/multipart.t)
-                from blasr_tpu.io.hdf import expand_multipart
-                in_paths.extend(expand_multipart(path))
-                continue
-        except OSError:
-            pass  # unopenable: the intake loop below warns and skips
-        in_paths.append(path)
-    for path in in_paths:
-        try:
-            if sniff_format(path) == "hdf":
                 # HDF inputs honor -noSplitSubreads at extraction time
-                # (MakePrimaryIntervals region variants, Blasr.cpp:89-179)
-                from blasr_tpu.io.hdf import BaxReader
-                rdr = BaxReader(path, region_path=args.regionTable)
-                try:
-                    if (params.use_ccs and not params.use_ccs_only
-                            and rdr.passes is not None):
-                        # ccs.h5 with Passes: CCSIterator inputs
-                        ccs_groups.extend(rdr.ccs_groups(
-                            full_only=not params.use_all_subreads_in_ccs))
-                    else:
-                        subs = rdr.subreads(
-                            min_score=max(params.min_raw_subread_score, 0),
-                            split=not args.noSplitSubreads,
-                            use_regions=params.use_region_table,
-                            use_hq=params.use_hq_region_table)
-                        if params.min_subread_length:
-                            subs = [r for r in subs
-                                    if len(r.seq)
-                                    >= params.min_subread_length]
-                        reads.extend(subs)
-                finally:
-                    rdr.close()
+                # (MakePrimaryIntervals region variants, Blasr.cpp:89-179);
+                # a multipart bas.h5 (/MultiPart/Parts) expands to its
+                # bax.h5 parts first (ctest/multipart.t)
+                from blasr_tpu.io.hdf import BaxReader, expand_multipart
+                for part in expand_multipart(path):
+                    rdr = BaxReader(part, region_path=args.regionTable)
+                    try:
+                        if (params.use_ccs and not params.use_ccs_only
+                                and rdr.passes is not None):
+                            # ccs.h5 with Passes: CCSIterator inputs
+                            ccs_groups.extend(rdr.ccs_groups(
+                                full_only=not params.use_all_subreads_in_ccs))
+                        else:
+                            subs = rdr.subreads(
+                                min_score=max(
+                                    params.min_raw_subread_score, 0),
+                                split=not args.noSplitSubreads,
+                                use_regions=params.use_region_table,
+                                use_hq=params.use_hq_region_table)
+                            if params.min_subread_length:
+                                subs = [r for r in subs
+                                        if len(r.seq)
+                                        >= params.min_subread_length]
+                            reads.extend(subs)
+                    finally:
+                        rdr.close()
             else:
                 reads.extend(read_sequences(path))
         except (FileNotFoundError, PermissionError) as e:

@@ -219,7 +219,9 @@ int64_t cigar_decode_one(const uint32_t* words, int64_t nwords,
                     && (rops[i + 1] == 2 || rops[i + 1] == 3)
                     && rops[i] != rops[i + 1]) {
                     int32_t m = std::min(rcnt[i], rcnt[i + 1]);
-                    push(4, m);  // 'X' mismatch columns
+                    // folded columns consume both sides with unknown
+                    // match status -> 'M' (see merge_adjacent_indels)
+                    push(1, m);
                     if (rcnt[i] > m) push(rops[i], rcnt[i] - m);
                     if (rcnt[i + 1] > m) push(rops[i + 1], rcnt[i + 1] - m);
                     i += 2;
@@ -234,8 +236,10 @@ int64_t cigar_decode_one(const uint32_t* words, int64_t nwords,
         }
     }
     if ((int64_t)rops.size() > max_runs) return -1;
-    std::memcpy(out_ops, rops.data(), rops.size());
-    std::memcpy(out_counts, rcnt.data(), rcnt.size() * sizeof(int32_t));
+    if (!rops.empty()) {
+        std::memcpy(out_ops, rops.data(), rops.size());
+        std::memcpy(out_counts, rcnt.data(), rcnt.size() * sizeof(int32_t));
+    }
     return (int64_t)rops.size();
 }
 

@@ -791,7 +791,12 @@ def merge_adjacent_indels(cigar: List) -> List:
                 a, na = runs[i]
                 b, nb = runs[i + 1]
                 m = min(na, nb)
-                out.append(("X", m))
+                # folded columns consume both sides with unknown match
+                # status -> 'M' (the reference's SAM convention; claiming
+                # 'X' would assert a mismatch the bases may not have).
+                # --cigarUseSeqMatch later splits 'M' into '='/'X' by
+                # actual comparison.
+                out.append(("M", m))
                 if na > m:
                     out.append((a, na - m))
                 if nb > m:
@@ -925,7 +930,11 @@ class Mapper:
 
         def _key(L):
             pos, kw = self._batch_call_args(L)
+            # the compile signature includes every index-array shape
             return (self.batch_size_for(L), self.gi.glen, self.gi.k,
+                    int(self.dev.pos_sorted.shape[0]),
+                    self.dev.bucket_starts is None,
+                    self.dev.pos_records is None,
                     tuple(sorted(kw.items())))
 
         buckets = [b for b in

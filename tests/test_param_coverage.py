@@ -68,7 +68,7 @@ WIRED = {
     "global_deletion_prior": "pipeline/scoring IDS",
     "read_accuracy_prior": "pipeline/scoring",
     "ignore_qualities": "select rescoring",
-    "forward_only": "Mapper._collect",
+    "forward_only": "Mapper._collect_batch",
     "map_subreads_separately": "cli HDF extraction",
     "concordant": "pipeline/zmw",
     "concordant_template": "pipeline/zmw",
