@@ -52,17 +52,41 @@ def main():
 
     params = MappingParams().make_sane()
     # two length buckets: short reads skip half the DP/traceback work;
-    # the persistent compile cache keeps the extra warmup affordable
-    cfg = ShapeConfig(buckets=(1024, 2048), batch_size=32, max_anchors=512)
-    mapper = Mapper(gi, params, cfg)
+    # the persistent compile cache keeps the extra warmup affordable.
+    # Batch size is picked empirically on the live chip: bigger batches
+    # amortize per-batch dispatch/transfer overhead until HBM/VMEM says no.
+    candidates = [
+        ShapeConfig(buckets=(1024, 2048), batch_size=32, max_anchors=512),
+        ShapeConfig(buckets=(1024, 2048), batch_size=64, max_anchors=512,
+                    hbm_budget=1 << 29),
+    ]
 
-    # warmup: compile the bucket
     t0 = time.time()
-    # warm both buckets (first 32 short + 32 long by length)
     order = sorted(range(len(recs)), key=lambda i: len(recs[i].seq))
     warm_ids = order[:16] + order[-16:]
-    warm = mapper.map_reads([recs[i] for i in warm_ids])
-    print(f"# warmup (compile) {time.time()-t0:.1f}s", file=sys.stderr)
+    warm_recs = [recs[i] for i in warm_ids]
+    probe = recs[:256]
+    mapper, best_dt = None, float("inf")
+    for cfg in candidates:
+        try:
+            m = Mapper(gi, params, cfg)
+            m.map_reads(warm_recs)  # compile (buckets in parallel)
+            dt = float("inf")
+            for _ in range(2):
+                t1 = time.time()
+                m.map_reads(probe)
+                dt = min(dt, time.time() - t1)
+            print(f"# batch {cfg.batch_size}: {len(probe)/dt:.1f} reads/s "
+                  f"(probe)", file=sys.stderr)
+        except Exception as e:  # OOM/compile failure: keep the safe config
+            print(f"# batch {cfg.batch_size} failed: {e}", file=sys.stderr)
+            continue
+        if dt < best_dt:
+            mapper, best_dt = m, dt
+    if mapper is None:
+        raise SystemExit("no benchable configuration")
+    print(f"# warmup+select (batch {mapper.cfg.batch_size}) "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
 
     # 3 measured passes, best taken: the remote-TPU tunnel shows
     # occasional multi-second latency dips unrelated to device compute

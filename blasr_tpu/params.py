@@ -284,6 +284,9 @@ class ShapeConfig:
     #                               provide the dense path, so the chain
     #                               walk only supplies flanking anchors
     n_candidates: int = 10        # candidate intervals refined per read
+    hbm_budget: int = 1 << 28     # device bytes allowed for the traceback
+    #                               arrow matrices (caps the effective
+    #                               batch per bucket, Mapper.batch_size_for)
     dp_cands: int = 0             # candidates per read that get banded DP;
     #                               0 = all (reference semantics: every
     #                               WeightedInterval is aligned); >0 caps

@@ -884,7 +884,7 @@ class Mapper:
 
     def batch_size_for(self, bucket: int) -> int:
         # keep traceback HBM bounded: 2B*C*L*w_b bytes
-        budget = 1 << 28
+        budget = self.cfg.hbm_budget
         b = budget // (2 * self.cfg.n_candidates * bucket * self.cfg.band_width)
         return int(max(1, min(self.cfg.batch_size, b)))
 
