@@ -150,6 +150,17 @@ def build_kmer_index(genome: np.ndarray, k: int):
     keys, valid = kmer_keys(genome, k)
     pos = np.nonzero(valid)[0]
     kv = keys[pos]
+    if k <= 16 and len(genome) < 2**31:
+        # pack (key, pos) into one uint64 and radix-sort it: one sort
+        # pass replaces argsort + two 50M-element gathers, and the
+        # (key, pos) lexicographic order IS the stable order
+        packed = kv.astype(np.uint64)
+        packed <<= np.uint64(32)
+        np.bitwise_or(packed, pos.astype(np.uint32), out=packed)
+        packed.sort(kind="stable")
+        pos_sorted = (packed & np.uint64(0xFFFFFFFF)).astype(np.int32)
+        keys_sorted = (packed >> np.uint64(32)).astype(np.uint32)
+        return keys_sorted, pos_sorted
     order = np.argsort(kv, kind="stable")
     pos_sorted = pos[order]
     keys_sorted = kv[order]
@@ -168,12 +179,20 @@ def build_bucket_starts(keys_sorted: np.ndarray, k: int) -> np.ndarray:
     on 16 GB HBM and much faster than searchsorted for large genomes).
     Replaces the whole binary search with two gathers."""
     nb = 1 << (2 * k)
-    counts = np.bincount(keys_sorted.astype(np.int64), minlength=nb)
-    starts = np.zeros(nb + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    if len(keys_sorted) < 2**31:
-        return starts.astype(np.int32)
-    return starts
+    m = len(keys_sorted)
+    dt = np.int32 if m < 2**31 else np.int64
+    table = np.zeros(nb + 1, dtype=dt)
+    if m:
+        # keys_sorted is sorted: scatter each key run's length at key+1
+        # and prefix-sum in place — avoids bincount's int64 [4^k] array
+        # and a second [4^k] cumsum allocation (k=14: 2 GiB saved)
+        bnd = np.flatnonzero(keys_sorted[1:] != keys_sorted[:-1]) + 1
+        run_starts = np.concatenate([[0], bnd])
+        run_ends = np.concatenate([bnd, [m]])
+        uk = keys_sorted[run_starts].astype(np.int64)
+        table[uk + 1] = (run_ends - run_starts).astype(dt)
+        np.cumsum(table, out=table)
+    return table
 
 
 def build_packed_words(genome: np.ndarray):
@@ -199,7 +218,7 @@ def build_ctab(genome: np.ndarray, ctab_k: int = 8) -> np.ndarray:
     """Genome k-mer frequency table (reference TupleCountTable,
     Blasr.cpp:1136-1147; default k=8) for anchor P-value weighting."""
     keys, valid = kmer_keys(genome, ctab_k)
-    return np.bincount(keys[valid].astype(np.int64),
+    return np.bincount(keys[valid],
                        minlength=4 ** ctab_k).astype(np.int32)
 
 

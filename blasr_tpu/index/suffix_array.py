@@ -109,15 +109,19 @@ def kmer_keys(codes: np.ndarray, k: int):
     if n < k:
         return np.zeros(n, dtype=np.uint64), np.zeros(n, dtype=bool)
     # uint32 path for k <= 16 (one third the memory traffic of int64 —
-    # matters for 100 Mbp+ genomes)
+    # matters for 100 Mbp+ genomes); the rolling OR works in-place on
+    # precomputed base codes so each of the k passes allocates nothing
     dt = np.uint32 if k <= 16 else np.uint64
-    keys = np.zeros(n, dtype=dt)
-    ok = np.ones(n, dtype=bool)
-    for j in range(k):
-        shifted = np.full(n, 4, dtype=np.uint8)
-        shifted[: n - j] = s[j:]
-        keys = (keys << dt(2)) | (shifted & 3).astype(dt)
-        ok &= shifted < 4
+    s2 = (s & 3).astype(dt)
+    okbase = s < 4
+    keys = s2.copy()
+    ok = okbase.copy()
+    for j in range(1, k):
+        keys <<= dt(2)
+        # the j-shifted tail pad is 'N' (code 4): key bits 0, valid False
+        np.bitwise_or(keys[: n - j], s2[j:], out=keys[: n - j])
+        np.logical_and(ok[: n - j], okbase[j:], out=ok[: n - j])
+        ok[n - j:] = False
     ok[n - k + 1:] = False
     keys[~ok] = 0
     return keys.astype(np.uint64) if dt == np.uint64 else keys, ok
