@@ -7,6 +7,132 @@ from blasr_tpu.kernels.anchor import Anchors
 from blasr_tpu.kernels.chain import chain_anchors, chain_members
 
 
+def chain_oracle(q, t, l, valid, nlogp, read_len, *, n_cand, D,
+                 indel_rate=0.3, drift_frac=0.35, drift_slack=50,
+                 rank_by_pvalue=False, p_value_type=0):
+    """Pure-NumPy restatement of chain_anchors' exact semantics for one
+    read (float32 arithmetic in the same order, leftmost-max ties,
+    overlap-suppressed selection).  Exists so the device kernel can be
+    reformulated (blocking, interleaving) with bit-exact safety."""
+    A = len(q)
+    NEG = np.float32(-1e30)
+    wlen = np.int32(np.float32(read_len) * np.float32(1.0 + indel_rate))
+    best = np.full(A, NEG, np.float32)
+    sq = np.zeros(A, np.int64)
+    st = np.zeros(A, np.int64)
+    cnt = np.zeros(A, np.int64)
+    sump = np.zeros(A, np.float32)
+    sumr = np.zeros(A, np.float32)
+    parent = np.full(A, -1, np.int64)
+    for i in range(A):
+        if not valid[i]:
+            continue
+        cand_v, cand_j, cand_gain = NEG, -1, np.float32(0)
+        for j in range(max(0, i - D), i):
+            if not valid[j]:
+                continue
+            dq, dt = q[i] - q[j], t[i] - t[j]
+            drift = np.float32(abs(dt - dq))
+            span = np.float32(max(dq, dt))
+            if not (dq > 0 and dt > 0 and dt <= wlen and
+                    drift <= np.float32(drift_frac) * span + drift_slack):
+                continue
+            gain = np.float32(min(l[i], min(dq, dt)))
+            v = np.float32(best[j] + gain)
+            if v > cand_v:  # strict: leftmost max wins, like argmax
+                cand_v, cand_j, cand_gain = v, j, gain
+        li = np.float32(l[i])
+        if cand_v < li:
+            best[i], sq[i], st[i] = li, q[i], t[i]
+            cnt[i], parent[i] = 1, -1
+            sump[i] = sumr[i] = np.float32(nlogp[i])
+        else:
+            best[i], sq[i], st[i] = cand_v, sq[cand_j], st[cand_j]
+            cnt[i], parent[i] = cnt[cand_j] + 1, cand_j
+            frac = cand_gain / np.float32(max(li, 1.0))
+            sump[i] = np.float32(sump[cand_j] + np.float32(nlogp[i]) * frac)
+            sumr[i] = np.float32(sumr[cand_j] + np.float32(nlogp[i]))
+    if rank_by_pvalue:
+        if p_value_type == 1:
+            pkey = best * np.float32(1.3862944)
+        elif p_value_type == 2:
+            pkey = sumr.copy()
+        else:
+            pkey = sump.copy()
+        rank_key = np.where(best > NEG * np.float32(0.5), pkey, NEG)
+    else:
+        rank_key = best.copy()
+    q_end = q + l
+    t_end = t + l
+    remaining = valid.copy()
+    out = []
+    for _ in range(n_cand):
+        masked = np.where(remaining, rank_key, NEG)
+        i_best = int(np.argmax(masked))
+        v = masked[i_best]
+        ok = bool(v > NEG * np.float32(0.5)) and bool(valid[i_best])
+        ts_i, te_i = st[i_best], t_end[i_best]
+        margin = wlen // 2
+        overlap = (st <= te_i + margin) & (t_end >= ts_i - margin)
+        remaining &= ~overlap
+        # the emitted score is the rank value itself (anchor bases by
+        # default; the p-value key under rank_by_pvalue)
+        out.append((sq[i_best], q_end[i_best], ts_i, te_i,
+                    np.float32(v), ok, i_best,
+                    cnt[i_best], sump[i_best]))
+    return out
+
+
+def test_chain_matches_numpy_oracle():
+    """Randomized bit-exact equivalence of the device chain DP against
+    the NumPy oracle, across lookback windows and weightors."""
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        A = 48
+        n = int(rng.integers(8, A))
+        read_len = int(rng.integers(80, 400))
+        # clustered anchors: a few diagonals plus noise, with ties
+        q = rng.integers(0, read_len - 12, n)
+        t = np.where(rng.random(n) < 0.7,
+                     q + rng.integers(1000, 1040, n),
+                     rng.integers(0, 5000, n))
+        l = rng.integers(12, 30, n)
+        order = np.argsort(t, kind="stable")
+        q, t, l = q[order], t[order], l[order]
+        qa = np.zeros((1, A), np.int32)
+        ta = np.full((1, A), 0x3FFFFFFF, np.int32)
+        la = np.zeros((1, A), np.int32)
+        va = np.zeros((1, A), bool)
+        qa[0, :n], ta[0, :n], la[0, :n], va[0, :n] = q, t, l, True
+        nlogp = la.astype(np.float32) * np.float32(np.log(4.0))
+        anch = Anchors(jnp.asarray(qa), jnp.asarray(ta), jnp.asarray(la),
+                       jnp.asarray(va),
+                       jnp.asarray(np.array([n], np.int32)),
+                       jnp.asarray(nlogp))
+        for lookback, rb, pvt in ((0, False, 0), (8, False, 0),
+                                  (0, True, 0), (0, True, 1), (0, True, 2)):
+            c = chain_anchors(anch, jnp.asarray(np.array([read_len],
+                                                         np.int32)),
+                              n_cand=4, lookback=lookback,
+                              rank_by_pvalue=rb, p_value_type=pvt)
+            D = A if lookback <= 0 or lookback > A else lookback
+            want = chain_oracle(qa[0], ta[0], la[0], va[0], nlogp[0],
+                                read_len, n_cand=4, D=D,
+                                rank_by_pvalue=rb, p_value_type=pvt)
+            for ci, (wqs, wqe, wts, wte, wsc, wok, wend, wcnt,
+                     wsump) in enumerate(want):
+                assert bool(c.valid[0, ci]) == wok, (trial, lookback, ci)
+                if not wok:
+                    continue
+                got = (int(c.q_start[0, ci]), int(c.q_end[0, ci]),
+                       int(c.t_start[0, ci]), int(c.t_end[0, ci]),
+                       float(c.score[0, ci]), int(c.end_idx[0, ci]),
+                       int(c.n_anchors[0, ci]), float(c.nlogp[0, ci]))
+                assert got == (int(wqs), int(wqe), int(wts), int(wte),
+                               float(wsc), wend, int(wcnt),
+                               float(wsump)), (trial, lookback, rb, pvt, ci)
+
+
 def make_anchors(triples, A=16):
     """triples: list of (q, t, l); returns a 1-read Anchors padded to A,
     sorted by t."""
