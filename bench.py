@@ -14,6 +14,8 @@ that per chip.  vs_baseline = measured / 15.0 (so >= 10.0 meets target).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -21,10 +23,38 @@ import numpy as np
 
 ASSUMED_REFERENCE_READS_PER_SEC = 15.0
 
+# The remote-TPU tunnel occasionally refuses backend setup ("UNAVAILABLE:
+# TPU backend setup/compile error") or stalls mid-run; JAX caches a failed
+# backend for the process lifetime, so recovery needs a fresh process.  The
+# parent loop below re-runs the measurement child until it emits the JSON
+# line, waiting out transient tunnel outages.
+RETRIES = 5
+RETRY_WAIT_S = 90.0
+
+
+def run_with_retries() -> int:
+    for attempt in range(RETRIES):
+        if attempt:
+            print(f"# bench attempt {attempt} failed; retrying in "
+                  f"{RETRY_WAIT_S:.0f}s", file=sys.stderr)
+            time.sleep(RETRY_WAIT_S)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                stdout=subprocess.PIPE, text=True, timeout=1800)
+        except subprocess.TimeoutExpired:
+            print("# bench child timed out (hung tunnel?)", file=sys.stderr)
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return 0
+    print("bench: no result after retries (TPU tunnel unavailable?)",
+          file=sys.stderr)
+    return 1
+
 
 def main():
-    import os
-
     import jax
     # persistent compilation cache: cold warmup ~370s, warm ~170s over
     # the remote tunnel (re-measured round 2; the round-1 note that
@@ -111,4 +141,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        sys.exit(run_with_retries())
