@@ -83,90 +83,109 @@ def chain_anchors(
     qf = q.astype(jnp.int32)
     tf = t.astype(jnp.int32)
 
-    # carries are left-padded by D so the per-step predecessor window
-    # [i-D, i) is a static-size dynamic slice (column j lives at j+D)
+    # DP carries are anchor-major [A+D, B]: each scan step then reads a
+    # contiguous [D, B] row window and writes ONE row — on TPU a column
+    # update of a [B, A+D] array is a strided lane-dim scatter that touches
+    # every (8,128) tile column, while a row update is a single tile write.
+    # Left-padded by D so the predecessor window [i-D, i) is a static-size
+    # dynamic slice (anchor j lives at row j+D).
     def padc(x, fill):
         return jnp.concatenate(
-            [jnp.full((B, D), fill, x.dtype), x], axis=1)
+            [jnp.full((D, B), fill, x.dtype), x.T], axis=0)
 
     qfp = padc(qf, -BIG)
     tfp = padc(tf, -BIG)
     vp = padc(valid, False)
 
     def win(x, i):
-        return jax.lax.dynamic_slice(x, (0, i), (B, D))
+        return jax.lax.dynamic_slice(x, (i, 0), (D, B))
+
+    def row(x, i):
+        return jax.lax.dynamic_slice(x, (i, 0), (1, B))[0]
+
+    qT = qf.T         # [A, B] anchor-major views of the inputs
+    tT = tf.T
+    lT = l.T
+    vT = valid.T
+    pT = anchors.nlogp.T
 
     def step(carry, i):
         best, sq, st, cnt, sump, sumr, parent = carry
         # transitions j -> i for the D most recent j (t-sorted; enforce
         # t_j < t_i explicitly to be safe with ties)
-        qi = qf[:, i]          # [B]
-        ti = tf[:, i]
-        qj = win(qfp, i)
+        qi = row(qT, i)        # [B]
+        ti = row(tT, i)
+        qj = win(qfp, i)       # [D, B]
         tj = win(tfp, i)
-        dq = qi[:, None] - qj
-        dt = ti[:, None] - tj
+        dq = qi[None, :] - qj
+        dt = ti[None, :] - tj
         drift = jnp.abs(dt - dq).astype(jnp.float32)
         span = jnp.maximum(dq, dt).astype(jnp.float32)
         ok = (
             win(vp, i)
-            & valid[:, i][:, None]
+            & row(vT, i)[None, :]
             & (dq > 0)
             & (dt > 0)
-            & (dt <= wlen[:, None])
+            & (dt <= wlen[None, :])
             & (drift <= drift_frac * span + drift_slack)
         )
         # overlap-clipped gain to avoid double counting overlapping anchors
-        li = l[:, i][:, None].astype(jnp.float32)
+        li = row(lT, i)[None, :].astype(jnp.float32)
         gain = jnp.minimum(li, jnp.minimum(dq, dt).astype(jnp.float32))
         cand = jnp.where(ok, win(best, i) + gain, NEG)
-        w_best = jnp.argmax(cand, axis=1)                     # [B]
+        w_best = jnp.argmax(cand, axis=0)                     # [B]
         j_best = i - D + w_best.astype(jnp.int32)             # absolute index
-        v_best = jnp.take_along_axis(cand, w_best[:, None], 1)[:, 0]
-        li0 = l[:, i].astype(jnp.float32)
+        v_best = jnp.take_along_axis(cand, w_best[None, :], 0)[0]
+        li0 = row(lT, i).astype(jnp.float32)
         start_new = v_best < li0                              # start fresh chain
         best_i = jnp.where(start_new, li0, v_best)
 
         def pick(x, fill):
             return jnp.where(
                 start_new, fill,
-                jnp.take_along_axis(win(x, i), w_best[:, None], 1)[:, 0])
+                jnp.take_along_axis(win(x, i), w_best[None, :], 0)[0])
 
         sq_i = pick(sq, qi)
         st_i = pick(st, ti)
         par_i = jnp.where(start_new, -1, j_best)
         cnt_i = jnp.where(start_new, 1, pick(cnt, 0) + 1)
         # significance accumulates scaled by the non-overlapped fraction
-        pi = anchors.nlogp[:, i]
+        pi = row(pT, i)
         frac = jnp.where(
             start_new, 1.0,
-            jnp.take_along_axis(gain, w_best[:, None], 1)[:, 0]
+            jnp.take_along_axis(gain, w_best[None, :], 0)[0]
             / jnp.maximum(li0, 1.0))
         sump_i = jnp.where(start_new, pi, pick(sump, 0.0) + pi * frac)
         sumr_i = jnp.where(start_new, pi, pick(sumr, 0.0) + pi)
-        vi = valid[:, i]
+        vi = row(vT, i)
         iD = i + D
-        best = best.at[:, iD].set(jnp.where(vi, best_i, NEG))
-        sq = sq.at[:, iD].set(sq_i)
-        st = st.at[:, iD].set(st_i)
-        cnt = cnt.at[:, iD].set(jnp.where(vi, cnt_i, 0))
-        sump = sump.at[:, iD].set(jnp.where(vi, sump_i, 0.0))
-        sumr = sumr.at[:, iD].set(jnp.where(vi, sumr_i, 0.0))
-        parent = parent.at[:, i].set(jnp.where(vi, par_i, -1))
+
+        def put(x, val):
+            return jax.lax.dynamic_update_slice(x, val[None, :], (iD, 0))
+
+        best = put(best, jnp.where(vi, best_i, NEG))
+        sq = put(sq, sq_i)
+        st = put(st, st_i)
+        cnt = put(cnt, jnp.where(vi, cnt_i, 0))
+        sump = put(sump, jnp.where(vi, sump_i, 0.0))
+        sumr = put(sumr, jnp.where(vi, sumr_i, 0.0))
+        parent = jax.lax.dynamic_update_slice(
+            parent, jnp.where(vi, par_i, -1)[None, :], (i, 0))
         return (best, sq, st, cnt, sump, sumr, parent), None
 
     def padded(fill, dtype):
-        return jnp.full((B, A + D), fill, dtype)
+        return jnp.full((A + D, B), fill, dtype)
 
-    par0 = jnp.full((B, A), -1, dtype=jnp.int32)
-    (bestp, sqp, stp, cntp, sumpp, sumrp, parent), _ = jax.lax.scan(
+    par0 = jnp.full((A, B), -1, dtype=jnp.int32)
+    (bestp, sqp, stp, cntp, sumpp, sumrp, parentT), _ = jax.lax.scan(
         step,
         (padded(NEG, jnp.float32), padded(0, jnp.int32),
          padded(0, jnp.int32), padded(0, jnp.int32),
          padded(0.0, jnp.float32), padded(0.0, jnp.float32), par0),
         jnp.arange(A))
-    best, sq, st = bestp[:, D:], sqp[:, D:], stp[:, D:]
-    cnt, sump, sumr = cntp[:, D:], sumpp[:, D:], sumrp[:, D:]
+    best, sq, st = bestp[D:].T, sqp[D:].T, stp[D:].T
+    cnt, sump, sumr = cntp[D:].T, sumpp[D:].T, sumrp[D:].T
+    parent = parentT.T
 
     # select top n_cand chain ends, suppressing ends whose interval overlaps
     # an already-selected one on the genome (nCandidates distinct windows)
