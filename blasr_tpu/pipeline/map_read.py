@@ -963,13 +963,15 @@ class Mapper:
         W = cfg.window_len(L)
         T = L + W
         out: List[List[Alignment]] = []
-        # phase 1: dispatch every batch (async; device queues the work)
         def dispatch(arr, lens, tb_cap=0):
             pos, kw = self._batch_call_args(L, tb_cap)
             return map_batch(
                 self.dev, jnp.asarray(arr), jnp.asarray(lens), *pos, **kw)
 
-        pending = []
+        # phase 0: stage every batch's host->device transfer (async) so the
+        # copies pipeline over the transfer link instead of serializing
+        # with the dispatch of the preceding batch's compute
+        staged = []
         for base in range(0, len(recs), batch):
             group = recs[base:base + batch]
             B = batch
@@ -979,8 +981,13 @@ class Mapper:
                 n = min(len(r.seq), L)
                 arr[i, :n] = r.seq[:n]
                 lens[i] = n
+            staged.append((group, arr, lens,
+                           jax.device_put(arr), jax.device_put(lens)))
+        # phase 1: dispatch every batch (async; device queues the work)
+        pending = []
+        for group, arr, lens, arr_d, lens_d in staged:
             with self.metrics.clock("mapToGenome"):
-                res = dispatch(arr, lens)
+                res = dispatch(arr_d, lens_d)
             pending.append((group, arr, lens, res))
         # phase 2: collect (transfers overlap with later batches' compute)
         for group, arr, lens, res in pending:
