@@ -80,6 +80,26 @@ def chain_anchors(
     D = A if lookback <= 0 or lookback > A else lookback
     wlen = (read_len.astype(jnp.float32) * (1.0 + indel_rate)).astype(jnp.int32)
 
+    # S anchors are processed per scan step (sub-steps unrolled in the
+    # traced body): the dependency chain over anchors is unchanged — each
+    # sub-step sees the in-flight rows of its own block — but the per-step
+    # loop/bookkeeping overhead amortizes S-fold.  Identical op order per
+    # anchor, so results stay bit-exact vs the S=1 formulation.
+    S = 8
+    Ap = -(-A // S) * S
+    if Ap != A:
+        padn = Ap - A
+
+        def pada(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((B, padn), fill, x.dtype)], axis=1)
+
+        q, t, l = pada(q, 0), pada(t, 0), pada(l, 0)
+        valid = pada(valid, False)
+        nlogp_in = pada(anchors.nlogp, 0.0)
+    else:
+        nlogp_in = anchors.nlogp
+
     qf = q.astype(jnp.int32)
     tf = t.astype(jnp.int32)
 
@@ -97,100 +117,119 @@ def chain_anchors(
     tfp = padc(tf, -BIG)
     vp = padc(valid, False)
 
-    def win(x, i):
-        return jax.lax.dynamic_slice(x, (i, 0), (D, B))
+    def win(x, i0):
+        return jax.lax.dynamic_slice(x, (i0, 0), (D + S, B))
 
     def row(x, i):
         return jax.lax.dynamic_slice(x, (i, 0), (1, B))[0]
 
-    qT = qf.T         # [A, B] anchor-major views of the inputs
+    qT = qf.T         # [Ap, B] anchor-major views of the inputs
     tT = tf.T
     lT = l.T
     vT = valid.T
-    pT = anchors.nlogp.T
+    pT = nlogp_in.T
+    riota = jnp.arange(D + S, dtype=jnp.int32)[:, None]       # [D+S, 1]
 
-    def step(carry, i):
+    def step(carry, blk):
         best, sq, st, cnt, sump, sumr, parent = carry
-        # transitions j -> i for the D most recent j (t-sorted; enforce
-        # t_j < t_i explicitly to be safe with ties)
-        qi = row(qT, i)        # [B]
-        ti = row(tT, i)
-        qj = win(qfp, i)       # [D, B]
-        tj = win(tfp, i)
-        dq = qi[None, :] - qj
-        dt = ti[None, :] - tj
-        drift = jnp.abs(dt - dq).astype(jnp.float32)
-        span = jnp.maximum(dq, dt).astype(jnp.float32)
-        ok = (
-            win(vp, i)
-            & row(vT, i)[None, :]
-            & (dq > 0)
-            & (dt > 0)
-            & (dt <= wlen[None, :])
-            & (drift <= drift_frac * span + drift_slack)
-        )
-        # overlap-clipped gain to avoid double counting overlapping anchors
-        li = row(lT, i)[None, :].astype(jnp.float32)
-        gain = jnp.minimum(li, jnp.minimum(dq, dt).astype(jnp.float32))
-        cand = jnp.where(ok, win(best, i) + gain, NEG)
-        w_best = jnp.argmax(cand, axis=0)                     # [B]
-        j_best = i - D + w_best.astype(jnp.int32)             # absolute index
-        v_best = jnp.take_along_axis(cand, w_best[None, :], 0)[0]
-        li0 = row(lT, i).astype(jnp.float32)
-        start_new = v_best < li0                              # start fresh chain
-        best_i = jnp.where(start_new, li0, v_best)
+        i0 = blk * S
+        # block window: rows [i0, i0+D+S) of the padded carries cover the
+        # predecessor range of every sub-anchor in the block, including
+        # the block's own in-flight rows (anchor i0+s lives at row D+s)
+        qj = win(qfp, i0)      # [D+S, B]
+        tj = win(tfp, i0)
+        vj = win(vp, i0)
+        Wb = win(best, i0)
+        Wsq, Wst = win(sq, i0), win(st, i0)
+        Wcnt = win(cnt, i0)
+        Wsump, Wsumr = win(sump, i0), win(sumr, i0)
+        par_rows = []
+        for s in range(S):
+            i = i0 + s
+            # transitions j -> i (t-sorted; enforce t_j < t_i explicitly
+            # to be safe with ties); rows outside [s, D+s) are other
+            # sub-anchors' predecessor windows, masked off
+            qi = row(qT, i)        # [B]
+            ti = row(tT, i)
+            dq = qi[None, :] - qj
+            dt = ti[None, :] - tj
+            drift = jnp.abs(dt - dq).astype(jnp.float32)
+            span = jnp.maximum(dq, dt).astype(jnp.float32)
+            ok = (
+                vj
+                & (riota >= s) & (riota < D + s)
+                & row(vT, i)[None, :]
+                & (dq > 0)
+                & (dt > 0)
+                & (dt <= wlen[None, :])
+                & (drift <= drift_frac * span + drift_slack)
+            )
+            # overlap-clipped gain: avoids double counting overlapping
+            # anchors
+            li = row(lT, i)[None, :].astype(jnp.float32)
+            gain = jnp.minimum(li, jnp.minimum(dq, dt).astype(jnp.float32))
+            cand = jnp.where(ok, Wb + gain, NEG)
+            w_best = jnp.argmax(cand, axis=0)                 # [B]
+            j_best = i0 - D + w_best.astype(jnp.int32)        # absolute index
+            v_best = jnp.take_along_axis(cand, w_best[None, :], 0)[0]
+            li0 = row(lT, i).astype(jnp.float32)
+            start_new = v_best < li0                          # fresh chain
+            best_i = jnp.where(start_new, li0, v_best)
 
-        def pick(x, fill):
-            return jnp.where(
-                start_new, fill,
-                jnp.take_along_axis(win(x, i), w_best[None, :], 0)[0])
+            def pick(x, fill):
+                return jnp.where(
+                    start_new, fill,
+                    jnp.take_along_axis(x, w_best[None, :], 0)[0])
 
-        sq_i = pick(sq, qi)
-        st_i = pick(st, ti)
-        par_i = jnp.where(start_new, -1, j_best)
-        cnt_i = jnp.where(start_new, 1, pick(cnt, 0) + 1)
-        # significance accumulates scaled by the non-overlapped fraction
-        pi = row(pT, i)
-        frac = jnp.where(
-            start_new, 1.0,
-            jnp.take_along_axis(gain, w_best[None, :], 0)[0]
-            / jnp.maximum(li0, 1.0))
-        sump_i = jnp.where(start_new, pi, pick(sump, 0.0) + pi * frac)
-        sumr_i = jnp.where(start_new, pi, pick(sumr, 0.0) + pi)
-        vi = row(vT, i)
-        iD = i + D
+            sq_i = pick(Wsq, qi)
+            st_i = pick(Wst, ti)
+            par_i = jnp.where(start_new, -1, j_best)
+            cnt_i = jnp.where(start_new, 1, pick(Wcnt, 0) + 1)
+            # significance accumulates scaled by the non-overlapped fraction
+            pi = row(pT, i)
+            frac = jnp.where(
+                start_new, 1.0,
+                jnp.take_along_axis(gain, w_best[None, :], 0)[0]
+                / jnp.maximum(li0, 1.0))
+            sump_i = jnp.where(start_new, pi, pick(Wsump, 0.0) + pi * frac)
+            sumr_i = jnp.where(start_new, pi, pick(Wsumr, 0.0) + pi)
+            vi = row(vT, i)
+            Wb = Wb.at[D + s].set(jnp.where(vi, best_i, NEG))
+            Wsq = Wsq.at[D + s].set(sq_i)
+            Wst = Wst.at[D + s].set(st_i)
+            Wcnt = Wcnt.at[D + s].set(jnp.where(vi, cnt_i, 0))
+            Wsump = Wsump.at[D + s].set(jnp.where(vi, sump_i, 0.0))
+            Wsumr = Wsumr.at[D + s].set(jnp.where(vi, sumr_i, 0.0))
+            par_rows.append(jnp.where(vi, par_i, -1))
 
-        def put(x, val):
-            return jax.lax.dynamic_update_slice(x, val[None, :], (iD, 0))
+        def put(x, w):
+            return jax.lax.dynamic_update_slice(x, w[D:D + S], (i0 + D, 0))
 
-        best = put(best, jnp.where(vi, best_i, NEG))
-        sq = put(sq, sq_i)
-        st = put(st, st_i)
-        cnt = put(cnt, jnp.where(vi, cnt_i, 0))
-        sump = put(sump, jnp.where(vi, sump_i, 0.0))
-        sumr = put(sumr, jnp.where(vi, sumr_i, 0.0))
+        best, sq, st = put(best, Wb), put(sq, Wsq), put(st, Wst)
+        cnt = put(cnt, Wcnt)
+        sump, sumr = put(sump, Wsump), put(sumr, Wsumr)
         parent = jax.lax.dynamic_update_slice(
-            parent, jnp.where(vi, par_i, -1)[None, :], (i, 0))
+            parent, jnp.stack(par_rows), (i0, 0))
         return (best, sq, st, cnt, sump, sumr, parent), None
 
     def padded(fill, dtype):
-        return jnp.full((A + D, B), fill, dtype)
+        return jnp.full((Ap + D, B), fill, dtype)
 
-    par0 = jnp.full((A, B), -1, dtype=jnp.int32)
+    par0 = jnp.full((Ap, B), -1, dtype=jnp.int32)
     (bestp, sqp, stp, cntp, sumpp, sumrp, parentT), _ = jax.lax.scan(
         step,
         (padded(NEG, jnp.float32), padded(0, jnp.int32),
          padded(0, jnp.int32), padded(0, jnp.int32),
          padded(0.0, jnp.float32), padded(0.0, jnp.float32), par0),
-        jnp.arange(A))
-    best, sq, st = bestp[D:].T, sqp[D:].T, stp[D:].T
-    cnt, sump, sumr = cntp[D:].T, sumpp[D:].T, sumrp[D:].T
-    parent = parentT.T
+        jnp.arange(Ap // S))
+    best, sq, st = bestp[D:D + A].T, sqp[D:D + A].T, stp[D:D + A].T
+    cnt, sump, sumr = cntp[D:D + A].T, sumpp[D:D + A].T, sumrp[D:D + A].T
+    parent = parentT[:A].T
 
     # select top n_cand chain ends, suppressing ends whose interval overlaps
     # an already-selected one on the genome (nCandidates distinct windows)
-    q_end_all = qf + anchors.l
-    t_end_all = tf + anchors.l
+    q_end_all = qf[:, :A] + anchors.l
+    t_end_all = tf[:, :A] + anchors.l
 
     if rank_by_pvalue:
         LOG4 = jnp.float32(1.3862944)
