@@ -50,6 +50,10 @@ CASES = [
     ("m4.concordant", "zmw", ["-m", "4", "--concordant", "--bestn", "1"]),
     # -- ccs.h5 with Passes (ctest/useccsall.t role) --
     ("m4.ccs", "ccs", ["-m", "4", "--useccs"]),
+    # -- FASTQ input with QVs (ctest/deterministic.t QV-present role):
+    #    --useQuality turns on QV-aware rescoring; SAM emits QUAL --
+    ("m4.fastq", "fastq", ["-m", "4", "--useQuality"]),
+    ("sam.fastq", "fastq", ["--sam", "--clipping", "soft", "--useQuality"]),
 ]
 
 
@@ -152,8 +156,38 @@ def make_ccs(d):
     return path, os.path.join(d, "genome_ccs.fa"), []
 
 
+def make_fastq(d):
+    """FASTQ reads over a genome with a near-duplicate repeat: ambiguous
+    placements make mapQV depend on the QV-aware log-prob rescore, so the
+    golden actually pins the --useQuality path."""
+    from blasr_tpu.io.fasta import FastaRecord, decode, write_fasta
+    from blasr_tpu.sim import random_genome, simulate_reads
+    contigs = random_genome(60_000, seed=555, n_contigs=2)
+    g = contigs[0].seq
+    rng = np.random.default_rng(557)
+    # second copy of a 3 kb block, ~1.5% diverged
+    block = g[5_000:8_000].copy()
+    mut = rng.random(len(block)) < 0.015
+    block[mut] = rng.integers(0, 4, int(mut.sum()))
+    g[20_000:23_000] = block
+    sims = simulate_reads([FastaRecord("rep", g[4_500:8_500])], 5,
+                          read_len=(300, 900), accuracy=0.87, seed=556)
+    sims += simulate_reads(contigs, 3, read_len=(250, 800), accuracy=0.87,
+                           seed=558)
+    path = os.path.join(d, "reads.fastq")
+    with open(path, "w") as f:
+        for i, s in enumerate(sims):
+            seq = s.rec.seq
+            qual = rng.integers(8, 40, len(seq))
+            f.write(f"@movie/{i}/0_{len(seq)}\n{decode(seq)}\n+\n")
+            f.write("".join(chr(int(x) + 33) for x in qual) + "\n")
+    write_fasta(os.path.join(d, "genome_fq.fa"), contigs)
+    return path, os.path.join(d, "genome_fq.fa"), []
+
+
 WORLDS = {"small": make_small, "small_bwt": make_small_bwt,
-          "big": make_big, "zmw": make_zmw, "ccs": make_ccs}
+          "big": make_big, "zmw": make_zmw, "ccs": make_ccs,
+          "fastq": make_fastq}
 
 
 def run_case(d, name, world, flags, world_cache):
