@@ -120,10 +120,25 @@ def find_anchors(
     # (AnchorParameters, RegisterBlasrOptions.h:104-106)
     pos_ok = kvalid & (nocc > 0) & (nocc <= max_anchors_per_pos)
 
-    # expand each position into up to O occurrences
+    # expand each position into up to O occurrences.  When a seed has more
+    # occurrences than O, sample them STRIDED across [lo, hi) rather than
+    # taking the lowest-position prefix: the reference emits every
+    # occurrence (maxAnchorsPerPosition=10000), and a prefix sample
+    # systematically starves later copies of a repeat of their true-locus
+    # anchors (reads from high-position copies then misplace onto the
+    # first copy).
+    # The stride phase rotates with the read position: with a constant
+    # phase, seeds sharing one occurrence count (the common case inside a
+    # repeat) would all sample the SAME subset of copies, and the unlucky
+    # copies would get no anchors at all.
     occ = jnp.arange(O, dtype=jnp.int32)
-    idx = lo[:, :, None] + occ[None, None, :]              # [B, L, O]
-    cand_valid = pos_ok[:, :, None] & (occ[None, None, :] < nocc[:, :, None])
+    occ3 = occ[None, None, :]
+    nocc3 = nocc[:, :, None]
+    pos3 = jax.lax.broadcasted_iota(jnp.int32, (B, L, O), 1)
+    strided = ((occ3 * nocc3) // O + pos3) % jnp.maximum(nocc3, 1)
+    off = jnp.where(nocc3 > O, strided, occ3)
+    idx = lo[:, :, None] + off                             # [B, L, O]
+    cand_valid = pos_ok[:, :, None] & (occ3 < nocc3)
     idx = jnp.clip(idx, 0, pos_sorted.shape[0] - 1)
     use_rec = (pos_records is not None and gwords is not None
                and anchor_ext <= 32)
