@@ -38,17 +38,33 @@ def run_with_retries() -> int:
             print(f"# bench attempt {attempt} failed; retrying in "
                   f"{RETRY_WAIT_S:.0f}s", file=sys.stderr)
             time.sleep(RETRY_WAIT_S)
+        stderr = ""
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"],
-                stdout=subprocess.PIPE, text=True, timeout=1800)
-        except subprocess.TimeoutExpired:
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                timeout=1800)
+            out, stderr = proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            # the measurement may have completed even if the process hangs
+            # on exit (stuck tunnel thread): salvage its stdout
             print("# bench child timed out (hung tunnel?)", file=sys.stderr)
-            continue
-        for line in proc.stdout.splitlines():
+            out = e.stdout.decode() if isinstance(e.stdout, bytes) \
+                else (e.stdout or "")
+        if stderr:
+            sys.stderr.write(stderr)
+        for line in (out or "").splitlines():
             if line.startswith("{"):
                 print(line)
                 return 0
+        transient = any(s in stderr for s in (
+            "UNAVAILABLE", "Unavailable", "DEADLINE", "unavailable"))
+        if stderr and not transient:
+            # deterministic failure (code bug, bad config): retrying the
+            # full warmup 5x would only bury the traceback above
+            print("bench: child failed non-transiently; not retrying",
+                  file=sys.stderr)
+            return 1
     print("bench: no result after retries (TPU tunnel unavailable?)",
           file=sys.stderr)
     return 1

@@ -136,8 +136,8 @@ def find_anchors(
     nocc3 = nocc[:, :, None]
     pos3 = jax.lax.broadcasted_iota(jnp.int32, (B, L, O), 1)
     strided = ((occ3 * nocc3) // O + pos3) % jnp.maximum(nocc3, 1)
-    off = jnp.where(nocc3 > O, strided, occ3)
-    idx = lo[:, :, None] + off                             # [B, L, O]
+    occ_off = jnp.where(nocc3 > O, strided, occ3)
+    idx = lo[:, :, None] + occ_off                         # [B, L, O]
     cand_valid = pos_ok[:, :, None] & (occ3 < nocc3)
     idx = jnp.clip(idx, 0, pos_sorted.shape[0] - 1)
     use_rec = (pos_records is not None and gwords is not None

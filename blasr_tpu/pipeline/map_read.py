@@ -968,24 +968,30 @@ class Mapper:
             return map_batch(
                 self.dev, jnp.asarray(arr), jnp.asarray(lens), *pos, **kw)
 
-        # phase 0: stage every batch's host->device transfer (async) so the
-        # copies pipeline over the transfer link instead of serializing
-        # with the dispatch of the preceding batch's compute
-        staged = []
-        for base in range(0, len(recs), batch):
+        # input transfers are staged a bounded lookahead AHEAD of dispatch
+        # (async device_put) so the copies pipeline over the transfer link
+        # instead of serializing with the previous batch's dispatch —
+        # bounded, so device/host memory stays O(lookahead), not O(reads)
+        def stage(base):
             group = recs[base:base + batch]
-            B = batch
-            arr = np.full((B, L), 4, dtype=np.int8)
-            lens = np.zeros(B, dtype=np.int32)
+            arr = np.full((batch, L), 4, dtype=np.int8)
+            lens = np.zeros(batch, dtype=np.int32)
             for i, r in enumerate(group):
                 n = min(len(r.seq), L)
                 arr[i, :n] = r.seq[:n]
                 lens[i] = n
-            staged.append((group, arr, lens,
-                           jax.device_put(arr), jax.device_put(lens)))
+            return (group, arr, lens,
+                    jax.device_put(arr), jax.device_put(lens))
+
+        LOOKAHEAD = 4
+        bases = list(range(0, len(recs), batch))
+        staged = {i: stage(b) for i, b in enumerate(bases[:LOOKAHEAD])}
         # phase 1: dispatch every batch (async; device queues the work)
         pending = []
-        for group, arr, lens, arr_d, lens_d in staged:
+        for i in range(len(bases)):
+            if i + LOOKAHEAD < len(bases):
+                staged[i + LOOKAHEAD] = stage(bases[i + LOOKAHEAD])
+            group, arr, lens, arr_d, lens_d = staged.pop(i)
             with self.metrics.clock("mapToGenome"):
                 res = dispatch(arr_d, lens_d)
             pending.append((group, arr, lens, res))

@@ -88,7 +88,9 @@ def test_chain_matches_numpy_oracle():
     the NumPy oracle, across lookback windows and weightors."""
     rng = np.random.default_rng(11)
     for trial in range(6):
-        A = 48
+        # odd trials use an A that is not a multiple of the scan-step
+        # unroll (S=8) to exercise the Ap-padding branch
+        A = 48 if trial % 2 == 0 else 45
         n = int(rng.integers(8, A))
         read_len = int(rng.integers(80, 400))
         # clustered anchors: a few diagonals plus noise, with ties
@@ -126,11 +128,27 @@ def test_chain_matches_numpy_oracle():
                     continue
                 got = (int(c.q_start[0, ci]), int(c.q_end[0, ci]),
                        int(c.t_start[0, ci]), int(c.t_end[0, ci]),
-                       float(c.score[0, ci]), int(c.end_idx[0, ci]),
-                       int(c.n_anchors[0, ci]), float(c.nlogp[0, ci]))
+                       int(c.end_idx[0, ci]), int(c.n_anchors[0, ci]))
                 assert got == (int(wqs), int(wqe), int(wts), int(wte),
-                               float(wsc), wend, int(wcnt),
-                               float(wsump)), (trial, lookback, rb, pvt, ci)
+                               wend, int(wcnt)), (trial, lookback, rb,
+                                                  pvt, ci)
+
+                # the significance weight accumulates pi*frac: XLA may
+                # contract the mul+add into an FMA, so it can differ from
+                # NumPy in the last bits — near-equality is its contract.
+                # The anchor-bases weight (rank_by_pvalue=False score) is
+                # integer-valued and stays bit-exact.
+                def close(a, b):
+                    return abs(a - b) <= 1e-5 * max(1.0, abs(b))
+
+                if rb and pvt in (0, 2):
+                    assert close(float(c.score[0, ci]), float(wsc)), \
+                        (trial, lookback, rb, pvt, ci)
+                else:
+                    assert float(c.score[0, ci]) == float(wsc), \
+                        (trial, lookback, rb, pvt, ci)
+                assert close(float(c.nlogp[0, ci]), float(wsump)), \
+                    (trial, lookback, rb, pvt, ci)
 
 
 def make_anchors(triples, A=16):
