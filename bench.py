@@ -75,9 +75,10 @@ def main():
     # persistent compilation cache: cold warmup ~370s, warm ~170s over
     # the remote tunnel (re-measured round 2; the round-1 note that
     # reloading was slower no longer holds for the larger graphs)
+    from blasr_tpu.hostcache import host_cache_dir
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__),
-                                   ".jax_cache_tpu"))
+                      host_cache_dir(os.path.join(os.path.dirname(__file__),
+                                                  ".jax_cache_tpu")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     from blasr_tpu.index import build_genome_index

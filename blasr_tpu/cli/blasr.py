@@ -446,9 +446,10 @@ def run(argv: Optional[List[str]] = None) -> int:
         import os as _os
 
         import jax as _jax
+        from blasr_tpu.hostcache import host_cache_dir
         _cache = _os.environ.get(
             "BLASR_TPU_COMPILE_CACHE",
-            _os.path.expanduser("~/.cache/blasr_tpu/jax"))
+            host_cache_dir(_os.path.expanduser("~/.cache/blasr_tpu/jax")))
         already = getattr(_jax.config, "jax_compilation_cache_dir", None)
         if _cache and not already:
             _os.makedirs(_cache, exist_ok=True)

@@ -15,8 +15,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the suite is dominated by recompiles of
-# the same kernels across test processes
-_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# the same kernels across test processes.  Host-keyed: XLA:CPU AOT
+# entries from a different CPU generation can SIGILL when loaded.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+from blasr_tpu.hostcache import host_cache_dir  # noqa: E402
+
+_cache = host_cache_dir(
+    os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
