@@ -134,8 +134,11 @@ def find_anchors(
     occ = jnp.arange(O, dtype=jnp.int32)
     occ3 = occ[None, None, :]
     nocc3 = nocc[:, :, None]
-    pos3 = jax.lax.broadcasted_iota(jnp.int32, (B, L, O), 1)
-    strided = ((occ3 * nocc3) // O + pos3) % jnp.maximum(nocc3, 1)
+    q = jax.lax.broadcasted_iota(jnp.int32, (B, L, O), 1)
+    # occ3*(nocc3//O) + (occ3*(nocc3%O))//O == (occ3*nocc3)//O without the
+    # int32 overflow a huge maxAnchorsPerPosition could hit
+    stride0 = occ3 * (nocc3 // O) + (occ3 * (nocc3 % O)) // O
+    strided = (stride0 + q) % jnp.maximum(nocc3, 1)
     occ_off = jnp.where(nocc3 > O, strided, occ3)
     idx = lo[:, :, None] + occ_off                         # [B, L, O]
     cand_valid = pos_ok[:, :, None] & (occ3 < nocc3)
@@ -149,7 +152,6 @@ def find_anchors(
     else:
         rec = None
         t = jnp.take(pos_sorted, idx).astype(jnp.int32)    # [B, L, O]
-    q = jax.lax.broadcasted_iota(jnp.int32, (B, L, O), 1)
 
     # containment prune: if the previous diagonal position also matches,
     # this anchor is inside a longer one (RemoveOverlappingAnchors) —

@@ -968,10 +968,13 @@ class Mapper:
             return map_batch(
                 self.dev, jnp.asarray(arr), jnp.asarray(lens), *pos, **kw)
 
-        # input transfers are staged a bounded lookahead AHEAD of dispatch
-        # (async device_put) so the copies pipeline over the transfer link
-        # instead of serializing with the previous batch's dispatch —
-        # bounded, so device/host memory stays O(lookahead), not O(reads)
+        # sliding-window pipeline: input transfers are staged LOOKAHEAD
+        # batches ahead of dispatch (async device_put, so copies pipeline
+        # over the transfer link instead of serializing with the previous
+        # batch's dispatch), and results are collected once more than
+        # LOOKAHEAD dispatches are in flight (collect overlaps with the
+        # queued batches' compute).  Both ends bounded: host and device
+        # memory stay O(LOOKAHEAD), not O(reads).
         def stage(base):
             group = recs[base:base + batch]
             arr = np.full((batch, L), 4, dtype=np.int8)
@@ -983,21 +986,7 @@ class Mapper:
             return (group, arr, lens,
                     jax.device_put(arr), jax.device_put(lens))
 
-        LOOKAHEAD = 4
-        bases = list(range(0, len(recs), batch))
-        staged = {i: stage(b) for i, b in enumerate(bases[:LOOKAHEAD])}
-        # phase 1: dispatch every batch (async; device queues the work)
-        pending = []
-        for i in range(len(bases)):
-            if i + LOOKAHEAD < len(bases):
-                staged[i + LOOKAHEAD] = stage(bases[i + LOOKAHEAD])
-            group, arr, lens, arr_d, lens_d = staged.pop(i)
-            with self.metrics.clock("mapToGenome"):
-                res = dispatch(arr_d, lens_d)
-            pending.append((group, arr, lens, res))
-        # phase 2: collect (transfers overlap with later batches' compute)
-        for group, arr, lens, res in pending:
-            B = batch
+        def collect(group, arr, lens, res):
             with self.metrics.clock("collectAlignments"):
                 res = unpack_batch(res)
                 if res.overflow.any():
@@ -1006,13 +995,29 @@ class Mapper:
                     # dense bound, which can never overflow
                     with self.metrics.clock("mapToGenome"):
                         res = unpack_batch(dispatch(arr, lens, tb_cap=T))
-                out.extend(self._collect_batch(res, group, lens, B))
+                out.extend(self._collect_batch(res, group, lens, batch))
             self.metrics.add("numReads", len(group))
             self.metrics.add("totalAnchors", int(res.n_anchors.sum()))
             self.metrics.add("totalCandidates", int(res.valid.sum()))
             self.metrics.add(
                 "cells", int((res.q_end - res.q_start)[res.valid].sum())
                 * cfg.band_width)
+
+        LOOKAHEAD = 4
+        bases = list(range(0, len(recs), batch))
+        staged = {i: stage(b) for i, b in enumerate(bases[:LOOKAHEAD])}
+        pending = []
+        for i in range(len(bases)):
+            if i + LOOKAHEAD < len(bases):
+                staged[i + LOOKAHEAD] = stage(bases[i + LOOKAHEAD])
+            group, arr, lens, arr_d, lens_d = staged.pop(i)
+            with self.metrics.clock("mapToGenome"):
+                res = dispatch(arr_d, lens_d)
+            pending.append((group, arr, lens, res))
+            if len(pending) > LOOKAHEAD:
+                collect(*pending.pop(0))
+        for item in pending:
+            collect(*item)
         return out
 
     def _collect_batch(self, res: BatchResult, group: Sequence[FastaRecord],
