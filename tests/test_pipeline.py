@@ -204,3 +204,20 @@ def test_native_cigar_matches_python():
             assert got == want
             checked += 1
     assert checked
+
+
+def test_batch_size_invariance(world):
+    """The sliding-window dispatch/collect pipeline (staging LOOKAHEAD
+    batches ahead, collecting once > LOOKAHEAD results are in flight)
+    returns identical alignments in input order at any batch size —
+    batch 3 pushes 7 batches through the window for 20 reads."""
+    contigs, gi, sims, params, mapper, results = world
+    cfg3 = ShapeConfig(buckets=(1024,), batch_size=3, max_anchors=256)
+    res3 = Mapper(gi, params, cfg3, dev=mapper.dev).map_reads(
+        [s.rec for s in sims])
+    assert len(res3) == len(results)
+    for a_list, b_list in zip(results, res3):
+        assert [(a.qstart, a.qend, a.tstart, a.tend, a.strand, a.score,
+                 list(a.cigar)) for a in a_list] == \
+               [(b.qstart, b.qend, b.tstart, b.tend, b.strand, b.score,
+                 list(b.cigar)) for b in b_list]
