@@ -129,20 +129,38 @@ def main():
             print(f"# batch {cfg.batch_size} failed: {e}", file=sys.stderr)
             continue
         if dt < best_dt:
+            if mapper is not None:
+                del mapper  # release the loser's device buffers
             mapper, best_dt = m, dt
+        else:
+            del m
     if mapper is None:
         raise SystemExit("no benchable configuration")
     print(f"# warmup+select (batch {mapper.cfg.batch_size}) "
           f"{time.time()-t0:.1f}s", file=sys.stderr)
 
-    # 3 measured passes, best taken: the remote-TPU tunnel shows
-    # occasional multi-second latency dips unrelated to device compute
+    # 5 measured passes, best taken; every pass time is printed so a
+    # tunnel-degraded run is distinguishable from a code regression in
+    # the artifact itself (BENCH_r02 post-mortem)
     dt = float("inf")
-    for _ in range(3):
+    for i in range(5):
         t0 = time.time()
         results = mapper.map_reads(recs)
-        dt = min(dt, time.time() - t0)
+        d = time.time() - t0
+        print(f"# pass {i}: {d:.2f}s ({n_reads/d:.1f} reads/s)",
+              file=sys.stderr)
+        dt = min(dt, d)
     rps = n_reads / dt
+
+    # tunnel-health evidence: post-measure scalar round-trip samples
+    import jax.numpy as jnp
+    rtts = []
+    for _ in range(3):
+        t0 = time.time()
+        float(jnp.zeros(()).sum())
+        rtts.append(time.time() - t0)
+    print(f"# post-measure RTT samples: "
+          f"{' '.join(f'{r*1000:.0f}ms' for r in rtts)}", file=sys.stderr)
 
     n_mapped = sum(1 for r in results if r)
     bases = sum(len(r.seq) for r in recs)

@@ -463,7 +463,19 @@ def run(argv: Optional[List[str]] = None) -> int:
     log("started.")
 
     if args.sa:
-        gi = GenomeIndex.load(args.sa)
+        from blasr_tpu.io.refsa import is_ref_sa
+        if is_ref_sa(args.sa):
+            # reference binary .sa (SuffixArray::Write layout): it holds
+            # only the SA + lookup table, not this runtime's packed k-mer
+            # index — rebuild from the genome and keep going (the warning
+            # mirrors the reference's parameter-coercion warnings)
+            log(f"WARNING: {args.sa} is a reference-format .sa; "
+                "rebuilding the runtime index from the genome.")
+            contigs = read_fasta(args.genome)
+            gi = build_genome_index(
+                contigs, k=min(params.min_match_length, 16))
+        else:
+            gi = GenomeIndex.load(args.sa)
     elif args.bwt:
         # --bwt path (Blasr.cpp:1073-1080): smaller artifact, slower load —
         # the BWT is inverted and the runtime k-mer index rebuilt

@@ -28,13 +28,23 @@ def run(argv: Optional[List[str]] = None) -> int:
     contigs = read_fasta(args.fastaIn)
     genome, seqdb = concat_contigs(contigs)
     sa = None
-    try:
-        gi = GenomeIndex.load(args.saIn)
-        if gi.suffix_array is not None and len(gi.suffix_array) == len(genome) + 1:
-            sa = gi.suffix_array
-    except (FileNotFoundError, KeyError, ValueError):
-        sys.stderr.write(f"WARNING: could not read SA from {args.saIn}; "
-                         "rebuilding\n")
+    from blasr_tpu.io.refsa import is_ref_sa, read_ref_sa
+    if is_ref_sa(args.saIn):
+        ref_sa, _, _ = read_ref_sa(args.saIn)
+        if ref_sa is not None and len(ref_sa) in (len(genome),
+                                                  len(genome) + 1):
+            sa = ref_sa.astype("int64")
+            if len(sa) == len(genome):  # add the sentinel rank if absent
+                sa = None  # build path appends it consistently
+    else:
+        try:
+            gi = GenomeIndex.load(args.saIn)
+            if (gi.suffix_array is not None
+                    and len(gi.suffix_array) == len(genome) + 1):
+                sa = gi.suffix_array
+        except (FileNotFoundError, KeyError, ValueError):
+            sys.stderr.write(f"WARNING: could not read SA from {args.saIn}; "
+                             "rebuilding\n")
     bwt, counts = build_bwt(genome, sa)
     out = args.bwtOut
     if out.endswith(".npz"):

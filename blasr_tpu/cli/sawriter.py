@@ -31,11 +31,23 @@ def run(argv: Optional[List[str]] = None) -> int:
                     "-welter", dest="algo", action="store_true",
                     help="construction algorithm flags (accepted for "
                          "compatibility; the artifact is identical)")
+    ap.add_argument("--saFormat", choices=("npz", "ref"), default="npz",
+                    help="'ref' writes the reference's binary .sa layout "
+                         "(SuffixArray::Write, utils/SAWriter.cpp:239) "
+                         "instead of the .npz index artifact")
     args = ap.parse_args(argv)
     contigs = read_fasta(args.fastaIn)
-    gi = build_genome_index(contigs, k=args.kmer, ctab_k=args.blt,
-                            with_suffix_array=args.fullSuffixArray)
+    gi = build_genome_index(
+        contigs, k=args.kmer, ctab_k=args.blt,
+        with_suffix_array=args.fullSuffixArray or args.saFormat == "ref")
     out = args.saOut
+    if args.saFormat == "ref":
+        from blasr_tpu.io.refsa import lookup_table_from_sa, write_ref_sa
+        table = lookup_table_from_sa(gi.genome, gi.suffix_array, args.blt)
+        write_ref_sa(out, gi.suffix_array, args.blt, table)
+        sys.stderr.write(f"wrote {out} (reference .sa layout, "
+                         f"{gi.glen} bp, blt={args.blt})\n")
+        return 0
     if out.endswith(".npz"):
         out = out[:-4]
     gi.save(out)

@@ -118,8 +118,20 @@ def load_ctab(path: str):
 def run_sals(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(
         prog="sals", description="checks index components (SA, lookup table)")
-    ap.add_argument("sa", help="index .npz")
+    ap.add_argument("sa", help="index .npz or reference binary .sa")
     args = ap.parse_args(argv)
+    from blasr_tpu.io.refsa import is_ref_sa, read_ref_sa
+    if is_ref_sa(args.sa):
+        try:
+            sa, p, table = read_ref_sa(args.sa)
+        except ValueError:
+            print("The file is not in a sa format.")
+            return 1
+        print(" * has a suffix array." if sa is not None
+              else " * does not contain a suffix array.")
+        print(f" * has a lookup table for word size. {p}"
+              if table is not None else " * does not have a lookup table.")
+        return 0
     from blasr_tpu.index.genome import GenomeIndex
     try:
         gi = GenomeIndex.load(args.sa)
@@ -150,8 +162,24 @@ def run_samodify(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("-blt", type=int, default=8)
     args = ap.parse_args(argv)
     from blasr_tpu.index.genome import GenomeIndex, build_genome_index
-    gi = GenomeIndex.load(args.in_sa)
+    from blasr_tpu.io.refsa import (is_ref_sa, lookup_table_from_sa,
+                                    read_ref_sa, write_ref_sa)
     contigs = read_fasta(args.genome)
+    if is_ref_sa(args.in_sa):
+        # reference binary layout: keep the stored SA, rebuild the lookup
+        # table at the new prefix length (SAModify.cpp:58-74)
+        sa, _, _ = read_ref_sa(args.in_sa)
+        if sa is None:
+            sys.stderr.write("samodify: input has no suffix array\n")
+            return 1
+        from blasr_tpu.index.genome import concat_contigs
+        genome, _ = concat_contigs(contigs)
+        table = lookup_table_from_sa(genome, sa, args.blt)
+        write_ref_sa(args.out_sa, sa, args.blt, table)
+        sys.stderr.write(f"wrote {args.out_sa} (reference .sa layout, "
+                         f"blt={args.blt})\n")
+        return 0
+    gi = GenomeIndex.load(args.in_sa)
     gi2 = build_genome_index(
         contigs, k=args.blt, ctab_k=gi.ctab_k,
         with_suffix_array=gi.suffix_array is not None)

@@ -69,7 +69,7 @@ def read_kmer_keys(reads: jnp.ndarray, read_len: jnp.ndarray, k: int):
     jax.jit,
     static_argnames=("k", "occ_per_pos", "max_anchors", "anchor_ext",
                      "min_match", "max_anchors_per_pos", "max_lcp",
-                     "advance_exact"),
+                     "advance_exact", "profile_stop"),
 )
 def find_anchors(
     genome: jnp.ndarray,        # int8 [G]
@@ -90,11 +90,16 @@ def find_anchors(
     # exact match of length l at read position q, skip query positions up
     # to q + l - E before seeding again — a speed knob trading sensitivity
     bucket_starts: jnp.ndarray = None,  # int32 [4^k+1] direct lookup table
+    bucket_pairs: jnp.ndarray = None,   # int32 [4^k, 2] (start, end) rows:
+    #                              one row-gather replaces the two element
+    #                              gathers (the stage is latency-bound)
     gwords: jnp.ndarray = None,   # uint32 [G] packed 16-base genome words
     gnwords: jnp.ndarray = None,  # uint32 [G] non-ACGT bit pairs
     pos_records: jnp.ndarray = None,  # uint32 [M, 6] fused per-slot records
     #                              (DeviceIndex._build_records): one 24-byte
     #                              row gather replaces 6 scattered gathers
+    profile_stop: int = 0,  # dev-only (tools/profile_anchor2.py): truncate
+    #                              the graph after a sub-stage
 ) -> Anchors:
     """See module docstring.  Anchor significance: an anchor whose seed
     k-mer occurs n times in an M-position index and extends to length l
@@ -104,10 +109,22 @@ def find_anchors(
     G = genome.shape[0]
     O = occ_per_pos
 
+    def _stop(*arrs):
+        s = sum(jnp.sum(a.astype(jnp.float32)) for a in arrs)
+        z = s.reshape(1, 1)
+        return Anchors(q=z, t=z, l=z, valid=z, n_total=z, nlogp=z)
+
     keys, kvalid = read_kmer_keys(reads, read_len, k)
-    if bucket_starts is not None:
+    if bucket_pairs is not None:
+        # direct lookup table, paired rows: ONE contiguous 8-byte row
+        # gather per position (device-native BuildLookupTable with
+        # p == k, Blasr.cpp:1101)
+        flatk = keys.reshape(-1).astype(jnp.int32)
+        pair = jnp.take(bucket_pairs, flatk, axis=0)       # [B*L, 2]
+        lo = pair[:, 0].reshape(B, L).astype(jnp.int32)
+        hi = pair[:, 1].reshape(B, L).astype(jnp.int32)
+    elif bucket_starts is not None:
         # direct lookup table: 2 gathers replace the binary search
-        # (device-native BuildLookupTable with p == k, Blasr.cpp:1101)
         flatk = keys.reshape(-1).astype(jnp.int32)
         lo = jnp.take(bucket_starts, flatk).reshape(B, L).astype(jnp.int32)
         hi = jnp.take(bucket_starts, flatk + 1).reshape(B, L).astype(jnp.int32)
@@ -115,6 +132,8 @@ def find_anchors(
         flatk = keys.reshape(-1)
         lo = jnp.searchsorted(keys_sorted, flatk, side="left").reshape(B, L)
         hi = jnp.searchsorted(keys_sorted, flatk, side="right").reshape(B, L)
+    if profile_stop == 1:
+        return _stop(lo, hi, kvalid)
     nocc = (hi - lo).astype(jnp.int32)
     # maxAnchorsPerPosition: skip over-abundant seeds entirely
     # (AnchorParameters, RegisterBlasrOptions.h:104-106)
@@ -143,6 +162,8 @@ def find_anchors(
     idx = lo[:, :, None] + occ_off                         # [B, L, O]
     cand_valid = pos_ok[:, :, None] & (occ3 < nocc3)
     idx = jnp.clip(idx, 0, pos_sorted.shape[0] - 1)
+    if profile_stop == 2:
+        return _stop(idx, cand_valid)
     use_rec = (pos_records is not None and gwords is not None
                and anchor_ext <= 32)
     if use_rec:
@@ -153,6 +174,8 @@ def find_anchors(
         rec = None
         t = jnp.take(pos_sorted, idx).astype(jnp.int32)    # [B, L, O]
 
+    if profile_stop == 3:
+        return _stop(t, gprev if use_rec else t)
     # containment prune: if the previous diagonal position also matches,
     # this anchor is inside a longer one (RemoveOverlappingAnchors) —
     # except periodic representatives every E/2 positions, so exact runs
@@ -225,6 +248,8 @@ def find_anchors(
         length = k + jnp.sum(run, axis=-1).astype(jnp.int32)  # [B, L, O]
     if max_lcp > 0:
         length = jnp.minimum(length, max_lcp)
+    if profile_stop == 4:
+        return _stop(length, cand_valid, t)
     cand_valid &= length >= min_match
 
     if advance_exact > 0:
@@ -272,6 +297,8 @@ def find_anchors(
     sel_l = jnp.take_along_axis(flat_len, order, axis=1)
     sel_v = jnp.take_along_axis(flat_valid, order, axis=1)
     sel_p = jnp.take_along_axis(flat_p, order, axis=1)
+    if profile_stop == 5:
+        return _stop(sel_q, sel_t, sel_l, sel_v, sel_p)
     n_total = jnp.sum(flat_valid, axis=1).astype(jnp.int32)
     n_clipped = jnp.sum(
         jnp.where(pos_ok, jnp.maximum(nocc - O, 0), 0),

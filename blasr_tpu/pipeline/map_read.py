@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, List, NamedTuple, Optional, Sequence
 
@@ -43,6 +44,10 @@ class DeviceIndex(NamedTuple):
     contig_ends: jnp.ndarray    # int32 [n_contigs]
     k: int
     bucket_starts: Optional[jnp.ndarray] = None  # int32 [4^k+1] direct LUT
+    # [4^k, 2] rows (start, end) of the same LUT: ONE row-gather per read
+    # position instead of two scattered element gathers — the anchor stage
+    # is gather-latency-bound and the paired load halves its largest cost
+    bucket_pairs: Optional[jnp.ndarray] = None
     gwords: Optional[jnp.ndarray] = None   # uint32 [G] packed 16-base words
     gnwords: Optional[jnp.ndarray] = None  # uint32 [G] non-ACGT bit pairs
     # per-SA-slot gather records [M, 6] uint32: (t, genome[t-1],
@@ -97,6 +102,10 @@ class DeviceIndex(NamedTuple):
             k=gi.k,
             bucket_starts=(jnp.asarray(gi.bucket_starts)
                            if gi.bucket_starts is not None else None),
+            bucket_pairs=(jnp.asarray(
+                np.stack([gi.bucket_starts[:-1], gi.bucket_starts[1:]],
+                         axis=1))
+                if gi.bucket_starts is not None else None),
             gwords=gw_d,
             gnwords=gn_d,
             pos_records=records,
@@ -330,6 +339,7 @@ def map_batch(
         min_match=min_match, max_anchors_per_pos=max_anchors_per_pos,
         max_lcp=max_lcp, advance_exact=advance_exact,
         bucket_starts=index.bucket_starts,
+        bucket_pairs=index.bucket_pairs,
         gwords=index.gwords, gnwords=index.gnwords,
         pos_records=index.pos_records)
     if profile_stop == 1:
@@ -551,7 +561,11 @@ def map_batch(
     res_sub = type(res)(score=sub_tb(res.score), tbbits=sub_tb(res.tbbits),
                         final_state=sub_tb(res.final_state),
                         valid=sub_tb(res.valid))
-    t_rl = tb_cap if tb_cap > 0 else max(128, T // 4)
+    # pair capacity: junk candidates inside the band top out near 0.8
+    # pairs/column (measured p99.9 = 1559 at T = 5120), so 3T/8 leaves
+    # zero overflows on CLR-like workloads; the while_loop exits early,
+    # so a roomier buffer costs transfer bytes only
+    t_rl = tb_cap if tb_cap > 0 else max(128, (3 * T) // 8)
     tbk = banded_traceback(res_sub, sub_tb(offs), sub_tb(qa), sub_tb(qb),
                            sub_tb(ta), sub_tb(tb), t_max=t_rl, w_b=w_b)
 
@@ -639,6 +653,8 @@ class Alignment:
     cluster_weight: float = 0.0  # anchor bases of the producing chain
     #                              (WeightedInterval size; feeds the
     #                              anchor-distribution significance gate)
+    band_width: int = 128  # DP band that produced this alignment (the
+    #                        nCells metric scales with it)
 
     @property
     def pct_similarity(self) -> float:
@@ -647,7 +663,7 @@ class Alignment:
 
     @property
     def n_cells(self) -> int:
-        return (self.qend - self.qstart) * 128
+        return (self.qend - self.qstart) * self.band_width
 
 
 # placeholder CIGAR for alignments awaiting batched assembly: truthy (the
@@ -835,6 +851,7 @@ class Mapper:
         # feeds the anchor-ambiguity rescue in map_reads
         self._anchor_totals: Dict[int, int] = {}
         self._ambiguity_rescue = True
+        self._vlog_file = None
         self.gi = gi
         self.params = params.make_sane()
         # --nCandidates drives the device candidate capacity when no
@@ -934,6 +951,7 @@ class Mapper:
             return (self.batch_size_for(L), self.gi.glen, self.gi.k,
                     int(self.dev.pos_sorted.shape[0]),
                     self.dev.bucket_starts is None,
+                    self.dev.bucket_pairs is None,
                     self.dev.pos_records is None,
                     tuple(sorted(kw.items())))
 
@@ -989,10 +1007,12 @@ class Mapper:
         def collect(group, arr, lens, res):
             with self.metrics.clock("collectAlignments"):
                 res = unpack_batch(res)
-                if res.overflow.any():
-                    # a traceback needed more RL pairs than the default
-                    # capacity (extremely noisy alignment): rerun with the
-                    # dense bound, which can never overflow
+                # dense rerun only when an overflowed traceback can reach
+                # the output: candidates without a traceback slot are
+                # dropped at collection, so their truncation is harmless
+                # (junk placements routinely overflow; a whole-batch rerun
+                # for them doubled device time)
+                if (res.overflow & res.valid & (res.dp_slot >= 0)).any():
                     with self.metrics.clock("mapToGenome"):
                         res = unpack_batch(dispatch(arr, lens, tb_cap=T))
                 out.extend(self._collect_batch(res, group, lens, batch))
@@ -1091,6 +1111,7 @@ class Mapper:
                         read=rec.seq, qual=rec.qual,
                         tracks=getattr(rec, "tracks", None),
                         cluster_weight=float(ch_l[row][c]),
+                        band_width=self.cfg.band_width,
                     )
                     alns.append(a)
                     slot_of[id(a)] = slot
@@ -1114,14 +1135,32 @@ class Mapper:
             out.append(alns)
         self._materialize_cigars(res.ops, deferred)
         if p.verbosity >= 1:
-            # interval prints (reference -V, BlasrAlignImpl.hpp:260-277)
-            import sys
+            # interval prints (reference -V, BlasrAlignImpl.hpp:260-277);
+            # -V >=3 routes them to a per-process pid.shard.log file
+            # (Blasr.cpp:757-764) and -V >=2 adds the sequence dumps
+            w = self._vlog().write
+            if p.verbosity >= 2:
+                from blasr_tpu.io.fasta import decode
+                for i, rec in enumerate(group):
+                    w(f"read {rec.name if rec.name else f'read/{i}'} "
+                      f"{int(lens[i])}\n{decode(rec.seq[:int(lens[i])])}\n")
             for alns in out:
                 for a in alns:
-                    sys.stderr.write(
-                        f"interval {a.qname} {a.qstart} {a.qend} {a.tname} "
-                        f"{a.tstart} {a.tend} {int(a.score)} {a.strand}\n")
+                    w(f"interval {a.qname} {a.qstart} {a.qend} {a.tname} "
+                      f"{a.tstart} {a.tend} {int(a.score)} {a.strand}\n")
         return out
+
+    def _vlog(self):
+        """Verbose-log sink: stderr for -V 1/2, a per-process
+        ``<pid>.<shard>.log`` file for -V >=3 (the reference opens one
+        log per worker thread, Blasr.cpp:757-764)."""
+        import sys
+        if self.params.verbosity < 3:
+            return sys.stderr
+        if self._vlog_file is None:
+            shard = os.environ.get("BLASR_TPU_HOST_ID", "0")
+            self._vlog_file = open(f"{os.getpid()}.{shard}.log", "a")
+        return self._vlog_file
 
     def _materialize_cigars(self, ops: np.ndarray,
                             deferred: List[tuple]) -> None:
@@ -1333,6 +1372,7 @@ class Mapper:
                 max_anchors_per_pos=p.max_anchors_per_position,
                 max_lcp=p.max_match_length,
                 bucket_starts=self.dev.bucket_starts,
+                bucket_pairs=self.dev.bucket_pairs,
                 gwords=self.dev.gwords, gnwords=self.dev.gnwords)
             if anchors_out is not None:
                 q = np.asarray(anchors.q)

@@ -265,3 +265,35 @@ def test_make_sane_reference_interactions(tmp_path, capsys):
     assert run(base + ["--sa", "x.npz", "--bwt", "y.npz"]) == 1
     assert run(base + ["--useQuality"]) == 1   # fasta input
     assert run(base + ["--subsample", "0.5", "--stride", "2"]) == 1
+
+
+def test_verbose_taps(small_index, small_genome, tmp_path, capsys,
+                      monkeypatch):
+    """-V 2 dumps read sequences; -V 3 routes the verbose stream to a
+    per-process pid.shard.log file (Blasr.cpp:757-764)."""
+    import os
+    import re
+
+    from blasr_tpu.params import MappingParams, ShapeConfig
+    from blasr_tpu.pipeline.map_read import Mapper
+    from blasr_tpu.sim import simulate_reads
+
+    recs = [s.rec for s in simulate_reads(small_genome, 3, read_len=(600, 900),
+                                          accuracy=0.9, seed=7)]
+    cfg = ShapeConfig(buckets=(1024,), batch_size=4, max_anchors=256)
+
+    p2 = MappingParams(verbosity=2).make_sane()
+    Mapper(small_index, p2, cfg).map_reads(recs)
+    err = capsys.readouterr().err
+    assert "interval " in err
+    assert re.search(r"^read \S+ \d+\n[ACGTN]+$", err, re.M), \
+        "-V 2 must dump read sequences"
+
+    monkeypatch.chdir(tmp_path)
+    p3 = MappingParams(verbosity=3).make_sane()
+    Mapper(small_index, p3, cfg).map_reads(recs)
+    logname = f"{os.getpid()}.0.log"
+    assert os.path.exists(logname), "-V 3 must write pid.shard.log"
+    text = open(logname).read()
+    assert "interval " in text and "read " in text
+    assert "interval " not in capsys.readouterr().err

@@ -108,3 +108,62 @@ def test_bsdb(genome_fa, tmp_path):
     z = np.load(str(out) + ".npz")
     assert list(z["names"]) == [c.name for c in contigs]
     assert list(z["lengths"]) == [len(c.seq) for c in contigs]
+
+
+def test_ref_sa_roundtrip_and_tools(genome_fa, tmp_path, capsys):
+    """Reference binary .sa layout (SuffixArray::Write reconstruction,
+    utils/SAWriter.cpp:239): write -> sniff -> read round trip; sals and
+    samodify speak it; the lookup table brackets every p-mer."""
+    from blasr_tpu.cli.sawriter import run as sawriter
+    from blasr_tpu.index.genome import concat_contigs
+    from blasr_tpu.io.refsa import (is_ref_sa, lookup_table_from_sa,
+                                    read_ref_sa, write_ref_sa)
+
+    d, contigs = genome_fa
+    ref_sa = tmp_path / "g.ref.sa"
+    assert sawriter([str(ref_sa), str(d / "g.fa"), "--saFormat", "ref",
+                     "-blt", "6"]) == 0
+    assert is_ref_sa(str(ref_sa))
+    sa, p, table = read_ref_sa(str(ref_sa))
+    assert sa is not None and p == 6 and len(table) == 4 ** 6 + 1
+
+    genome, _ = concat_contigs(contigs)
+    # every bucket's SA range holds exactly the suffixes starting with
+    # that p-mer
+    G = len(genome)
+    got = 0
+    for key in (0, 5, 4 ** 6 - 1):
+        lo, hi = int(table[key]), int(table[key + 1])
+        for slot in range(lo, min(hi, lo + 50)):
+            t = int(sa[slot])
+            if t + p <= G and all(int(genome[t + j]) < 4 for j in range(p)):
+                kk = 0
+                for j in range(p):
+                    kk = (kk << 2) | int(genome[t + j])
+                assert kk == key
+                got += 1
+    assert table[-1] >= table[0]
+
+    # sals reports the components of the binary layout
+    assert st.run_sals([str(ref_sa)]) == 0
+    out = capsys.readouterr().out
+    assert "has a suffix array" in out and "word size. 6" in out
+
+    # samodify rebuilds the lookup table in place (format preserved)
+    out_sa = tmp_path / "g.ref2.sa"
+    assert st.run_samodify([str(ref_sa), str(d / "g.fa"), str(out_sa),
+                            "-blt", "8"]) == 0
+    sa2, p2, table2 = read_ref_sa(str(out_sa))
+    assert p2 == 8 and np.array_equal(sa2, sa)
+    assert len(table2) == 4 ** 8 + 1
+
+    # a truncated file is rejected with a reason, not misparsed
+    bad = tmp_path / "trunc.sa"
+    bad.write_bytes(open(ref_sa, "rb").read()[:40])
+    with pytest.raises(ValueError):
+        read_ref_sa(str(bad))
+
+    # .npz artifacts never sniff as reference .sa
+    npz_sa = tmp_path / "g.npz.sa"
+    assert sawriter([str(npz_sa), str(d / "g.fa")]) == 0
+    assert not is_ref_sa(str(npz_sa) + ".npz")
