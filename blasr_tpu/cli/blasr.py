@@ -294,6 +294,8 @@ def params_from_args(args) -> MappingParams:
         max_expand=args.maxExpand,
         min_expand=args.minExpand,
         p_value_type=args.pvaltype,
+        global_chain_type=args.globalChainType,
+        warp=not args.nowarp,
         fast_max_interval=args.fastMaxInterval,
         aggressive_interval_cut=args.aggressiveIntervalCut,
         advance_half=args.advanceHalf,
@@ -388,15 +390,10 @@ def log(msg: str) -> None:
 def run(argv: Optional[List[str]] = None) -> int:
     args = build_arg_parser().parse_args(argv)
     # unsupported requests fail loudly rather than silently parsing
-    if args.nowarp:
-        sys.stderr.write("ERROR: --nowarp is not supported by blasr_tpu "
-                         "(the warp interval search is the only chain "
-                         "formulation here)\n")
-        return 1
-    if args.globalChainType != 0:
-        sys.stderr.write("ERROR: --globalChainType != 0 is not supported "
-                         "by blasr_tpu\n")
-        return 1
+    # --nowarp is accepted as a no-op: warp (MappingParameters.h:98,282)
+    # only speeds the reference's CPU window-advance during interval
+    # search; the chain DP here is exhaustive over anchors either way, so
+    # the nowarp semantics is what is always computed.
     if args.scoreType != 0:
         sys.stderr.write("ERROR: --scoreType != 0 is not supported by "
                          "blasr_tpu (only the distance-matrix score "

@@ -49,7 +49,7 @@ class Candidates(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_cand", "rank_by_pvalue", "lookback",
-                                    "p_value_type"))
+                                    "p_value_type", "global_chain"))
 def chain_anchors(
     anchors: Anchors,
     read_len: jnp.ndarray,       # int32 [B]
@@ -74,6 +74,15 @@ def chain_anchors(
     # exhaustive default); --fastMaxInterval / --advanceHalf set finite
     # windows (RegisterBlasrOptions.h:172-173, help :331-337: "not as
     # exhaustive as the default, but much faster")
+    global_chain: bool = False,
+    # --globalChainType >= 1 (RegisterBlasrOptions.h:145, flows into
+    # IntervalSearchParameters at BlasrAlignImpl.hpp:105): the interval
+    # search chains with RestrictedGlobalChain(..., 0.1, ...) instead of
+    # the LIS — successors must start at-or-after the predecessor's END
+    # in both coordinates (strict rectangle precedence; overlapping
+    # anchors never share a chain) and the diagonal drift is capped at
+    # 0.1x the spanned distance (no slack).  Same DP, tighter transition
+    # mask — the TPU formulation keeps the masked-max scan either way.
 ) -> Candidates:
     q, t, l, valid = anchors.q, anchors.t, anchors.l, anchors.valid
     B, A = q.shape
@@ -116,6 +125,11 @@ def chain_anchors(
     qfp = padc(qf, -BIG)
     tfp = padc(tf, -BIG)
     vp = padc(valid, False)
+    if global_chain:
+        # predecessor lengths, windowed like the positions (constant
+        # input, not a carry) — the precedence test needs q_j + l_j
+        lfp = padc(l.astype(jnp.int32), 0)
+        drift_frac, drift_slack = 0.1, 0
 
     def win(x, i0):
         return jax.lax.dynamic_slice(x, (i0, 0), (D + S, B))
@@ -164,6 +178,9 @@ def chain_anchors(
                 & (dt <= wlen[None, :])
                 & (drift <= drift_frac * span + drift_slack)
             )
+            if global_chain:
+                lj = win(lfp, i0)
+                ok &= (dq >= lj) & (dt >= lj)
             # overlap-clipped gain: avoids double counting overlapping
             # anchors
             li = row(lT, i)[None, :].astype(jnp.float32)
@@ -253,11 +270,22 @@ def chain_anchors(
         te_i = jnp.take_along_axis(t_end_all, i_best[:, None], 1)[:, 0]
         qs_i = jnp.take_along_axis(sq, i_best[:, None], 1)[:, 0]
         qe_i = jnp.take_along_axis(q_end_all, i_best[:, None], 1)[:, 0]
-        # suppress all chain ends whose own interval [st, t_end] overlaps
-        # the selected interval by more than half a read length
-        margin = (wlen // 2)[:, None]
-        overlap = (st <= te_i[:, None] + margin) & (
-            t_end_all >= ts_i[:, None] - margin)
+        # suppress chain ends that describe the SAME placement as the
+        # selected one: >50% mutual interval overlap AND the same DP
+        # diagonal band.  Distinct-diagonal competitors survive — a read
+        # spanning several units of a tandem repeat has near-equal
+        # placements shifted by the period, and the mapQV partition must
+        # see them (PartitionOverlappingAlignments feeds StoreMapQVs,
+        # BlasrUtilsImpl.hpp:236-304); same-diagonal near-duplicates
+        # would re-derive the identical banded alignment and are pruned
+        # here instead of post-DP (RemoveOverlappingAlignments's job,
+        # BlasrUtilsImpl.hpp:523-605)
+        ov = (jnp.minimum(te_i[:, None], t_end_all)
+              - jnp.maximum(ts_i[:, None], st))
+        span_min = jnp.minimum((te_i - ts_i)[:, None], t_end_all - st)
+        d_sel = (te_i - qe_i)[:, None]
+        same_diag = jnp.abs((t_end_all - q_end_all) - d_sel) < 128
+        overlap = (2 * ov > span_min) & same_diag
         remaining = remaining & ~overlap
         out = (qs_i, qe_i, ts_i, te_i, v, ok & anchors.valid[jnp.arange(B), i_best],
                i_best.astype(jnp.int32))

@@ -102,10 +102,15 @@ class DeviceIndex(NamedTuple):
             k=gi.k,
             bucket_starts=(jnp.asarray(gi.bucket_starts)
                            if gi.bucket_starts is not None else None),
+            # paired rows double the LUT footprint; worth it only while
+            # the table is small (k=14 large-genome LUTs would pay 2 GB
+            # of HBM for a ~1.5 ms/batch gather saving)
             bucket_pairs=(jnp.asarray(
                 np.stack([gi.bucket_starts[:-1], gi.bucket_starts[1:]],
                          axis=1))
-                if gi.bucket_starts is not None else None),
+                if gi.bucket_starts is not None
+                and gi.bucket_starts.shape[0] <= (1 << 25)
+                else None),
             gwords=gw_d,
             gnwords=gn_d,
             pos_records=records,
@@ -288,7 +293,8 @@ def _band_offsets(mq, mt, ws, L, W, w_b,
     static_argnames=("cfg_k", "L", "W", "w_b", "C", "A", "O", "E", "T",
                      "max_chain", "min_match", "max_anchors_per_pos",
                      "max_lcp", "indel_rate", "C_dp", "use_pallas",
-                     "p_value_type", "lookback", "aggressive_cut",
+                     "p_value_type", "lookback", "global_chain",
+                     "aggressive_cut",
                      "advance_exact", "k_sdp", "sdp_occ", "between_only",
                      "use_hp", "profile_stop", "tb_cap"),
 )
@@ -311,7 +317,8 @@ def map_batch(
     cfg_k: int, L: int, W: int, w_b: int, C: int, A: int, O: int, E: int,
     T: int, max_chain: int, min_match: int, max_anchors_per_pos: int,
     max_lcp: int, indel_rate: float, C_dp: int = 0, use_pallas: bool = False,
-    p_value_type: int = 3, lookback: int = 0, aggressive_cut: bool = False,
+    p_value_type: int = 3, lookback: int = 0, global_chain: bool = False,
+    aggressive_cut: bool = False,
     advance_exact: int = 0, k_sdp: int = 0, sdp_occ: int = 2,
     between_only: bool = False, use_hp: bool = False, profile_stop: int = 0,
     tb_cap: int = 0,
@@ -354,7 +361,8 @@ def map_batch(
     cands_all = chain_anchors(anchors, rlen2, n_cand=C_stat,
                               indel_rate=indel_rate,
                               rank_by_pvalue=p_value_type in (0, 1, 2),
-                              p_value_type=p_value_type, lookback=lookback)
+                              p_value_type=p_value_type, lookback=lookback,
+                              global_chain=global_chain)
     # significance gate: drop candidate intervals explainable by chance
     # (reference: anchor-distribution mapQV gate + LIS P-value,
     # BlasrAlignImpl.hpp:391-488)
@@ -490,12 +498,21 @@ def map_batch(
         return _stop(offs, windows, qa, qb, ta, tb)
     if k_sdp > 0:
         # short-tuple window pass (sdpTupleSize below the index seed
-        # size), on the top-2 chain-ranked candidates per strand-row —
-        # window k-mer sorting is too expensive to run for every slot
+        # size): always the top-2 chain-ranked candidates per strand-row,
+        # plus lower-ranked candidates whose guide path has an
+        # inter-anchor desert wider than the DP band — exactly the case
+        # the dense pass exists for (the reference SDP-aligns every
+        # interval, BlasrAlignImpl.hpp:980-990; window k-mer sorting for
+        # every slot is too expensive, so deserts buy the extra capacity)
         from blasr_tpu.kernels.sdp import window_fragment_diags_banded
-        n_sdp = min(2 * n2, n_dp)
+        n_sdp = min(3 * n2, n_dp)
         gmask = (sel % C) < 2
-        srows = jnp.argsort(jnp.where(gmask, 0, 1),
+        mv = mqs < BIG32
+        desert = (jnp.any(mv[:, 1:] & mv[:, :-1]
+                          & (mqs[:, 1:] - mqs[:, :-1] > w_b), axis=1)
+                  & sel_valid & no_bypass)
+        prio = jnp.where(gmask, 0, jnp.where(desert, 1, 2))
+        srows = jnp.argsort(prio,
                             stable=True)[:n_sdp].astype(jnp.int32)
 
         def sub(x):
@@ -857,6 +874,17 @@ class Mapper:
         # --nCandidates drives the device candidate capacity when no
         # explicit shape config is given
         self.cfg = cfg or ShapeConfig(n_candidates=self.params.n_candidates)
+        # emit-all anchoring reachable by flag: the reference emits every
+        # SA occurrence up to --maxAnchorsPerPosition (default 10000,
+        # RegisterBlasrOptions.h:104-106); an explicitly bounded value
+        # (<= 256) becomes the per-position emission capacity instead of
+        # the default occurrence sampling (batch_size_for folds the
+        # anchor-stage memory into the batch bound)
+        mapp = self.params.max_anchors_per_position
+        if 0 < mapp <= 256 and mapp > self.cfg.occ_per_pos:
+            self.cfg = dataclasses.replace(
+                self.cfg, occ_per_pos=mapp,
+                max_anchors=max(self.cfg.max_anchors, 4 * mapp))
         self.metrics = metrics or MappingMetrics()
         self.dev = dev if dev is not None else DeviceIndex.from_host(gi)
         m = np.asarray(self.params.score_matrix, dtype=np.float32).reshape(25)
@@ -903,7 +931,11 @@ class Mapper:
         # keep traceback HBM bounded: 2B*C*L*w_b bytes
         budget = self.cfg.hbm_budget
         b = budget // (2 * self.cfg.n_candidates * bucket * self.cfg.band_width)
-        return int(max(1, min(self.cfg.batch_size, b)))
+        # the anchor stage materializes [2B, L, O] expansions (~16 int32
+        # planes incl. the fused 24-byte records); deep occ_per_pos runs
+        # (emit-all flag / ambiguity rescue) must shrink the batch
+        b2 = budget // (2 * bucket * self.cfg.occ_per_pos * 16)
+        return int(max(1, min(self.cfg.batch_size, b, b2)))
 
     def _batch_call_args(self, L: int, tb_cap: int = 0):
         """(positional args after reads/lens, static kwargs) of the
@@ -925,6 +957,7 @@ class Mapper:
             C_dp=cfg.dp_cands, use_pallas=self.use_pallas,
             p_value_type=p.p_value_type,
             lookback=self._chain_lookback(),
+            global_chain=p.global_chain_type >= 1,
             aggressive_cut=p.aggressive_interval_cut,
             advance_exact=p.advance_exact_matches,
             k_sdp=min(p.sdp_tuple_size, 16),
@@ -1201,6 +1234,37 @@ class Mapper:
                     a.cigar, oq[qa:qa + (a.qend - a.qstart)],
                     self.gi.genome[gs:gs + (a.tend - a.tstart)])
 
+    def _max_seed_depth(self, rec: FastaRecord) -> int:
+        """Deepest k-mer occurrence count along a read (host-side; feeds
+        the ambiguity rescue's emit-all occurrence capacity)."""
+        gi = self.gi
+        seq = np.asarray(rec.seq)
+        k = gi.k
+        if len(seq) < k:
+            return 0
+        keys = np.zeros(len(seq) - k + 1, dtype=np.int64)
+        ok = np.ones(len(seq) - k + 1, dtype=bool)
+        for j in range(k):
+            c = seq[j: j + len(keys)].astype(np.int64)
+            keys = (keys << 2) | (c & 3)
+            ok &= c < 4
+        if not ok.any():
+            return 0
+        keys = keys[ok]
+        if gi.bucket_starts is not None:
+            nocc = (gi.bucket_starts[keys + 1].astype(np.int64)
+                    - gi.bucket_starts[keys].astype(np.int64))
+        else:
+            ks = gi.keys_sorted
+            nocc = (np.searchsorted(ks, keys.astype(np.uint32), "right")
+                    - np.searchsorted(ks, keys.astype(np.uint32), "left"))
+        # only depths the emitter would accept (over-abundant seeds are
+        # skipped outright by maxAnchorsPerPosition)
+        mapp = self.params.max_anchors_per_position
+        if mapp:
+            nocc = nocc[nocc <= mapp]
+        return int(nocc.max()) if nocc.size else 0
+
     def _expanded(self, expand: int) -> "Mapper":
         """Mapper with anchoring loosened by 2^expand (the reference's
         expand parameter widens SA search bounds per retry)."""
@@ -1281,9 +1345,19 @@ class Mapper:
                         and coverage(j, r) < 0.5):
                     deep.append((j, r))
             if deep:
+                # raise the occurrence capacity to the deepest observed
+                # seed depth among the rescued reads (bounded by
+                # --maxAnchorsPerPosition and a device-memory cap),
+                # rounded to a power of two so retry shapes stay reusable
+                # — emit-all semantics where the heuristic fired
+                # (reference default maxAnchorsPerPosition=10000)
+                depth = max(self._max_seed_depth(r) for _, r in deep)
+                mapp = self.params.max_anchors_per_position or 1024
+                occ = min(max(48, depth), mapp, 1024)
+                occ = 1 << (occ - 1).bit_length()
                 dcfg = dataclasses.replace(
                     self.cfg,
-                    occ_per_pos=max(48, self.cfg.occ_per_pos),
+                    occ_per_pos=max(occ, self.cfg.occ_per_pos),
                     max_anchors=max(2048, self.cfg.max_anchors))
                 dm = Mapper(self.gi, p, dcfg, metrics=self.metrics,
                             dev=self.dev)
@@ -1388,7 +1462,8 @@ class Mapper:
                             f"{strand}\n")
             if clusters_out is not None:
                 cands = chain_anchors(anchors, rlen2, n_cand=cfg.n_candidates,
-                                      indel_rate=p.indel_rate)
+                                      indel_rate=p.indel_rate,
+                                      global_chain=p.global_chain_type >= 1)
                 sc = np.asarray(cands.score)
                 na = np.asarray(cands.n_anchors)
                 cv = np.asarray(cands.valid)

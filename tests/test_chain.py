@@ -9,13 +9,15 @@ from blasr_tpu.kernels.chain import chain_anchors, chain_members
 
 def chain_oracle(q, t, l, valid, nlogp, read_len, *, n_cand, D,
                  indel_rate=0.3, drift_frac=0.35, drift_slack=50,
-                 rank_by_pvalue=False, p_value_type=0):
+                 rank_by_pvalue=False, p_value_type=0, global_chain=False):
     """Pure-NumPy restatement of chain_anchors' exact semantics for one
     read (float32 arithmetic in the same order, leftmost-max ties,
     overlap-suppressed selection).  Exists so the device kernel can be
     reformulated (blocking, interleaving) with bit-exact safety."""
     A = len(q)
     NEG = np.float32(-1e30)
+    if global_chain:
+        drift_frac, drift_slack = 0.1, 0
     wlen = np.int32(np.float32(read_len) * np.float32(1.0 + indel_rate))
     best = np.full(A, NEG, np.float32)
     sq = np.zeros(A, np.int64)
@@ -36,6 +38,8 @@ def chain_oracle(q, t, l, valid, nlogp, read_len, *, n_cand, D,
             span = np.float32(max(dq, dt))
             if not (dq > 0 and dt > 0 and dt <= wlen and
                     drift <= np.float32(drift_frac) * span + drift_slack):
+                continue
+            if global_chain and not (dq >= l[j] and dt >= l[j]):
                 continue
             gain = np.float32(min(l[i], min(dq, dt)))
             v = np.float32(best[j] + gain)
@@ -72,8 +76,14 @@ def chain_oracle(q, t, l, valid, nlogp, read_len, *, n_cand, D,
         v = masked[i_best]
         ok = bool(v > NEG * np.float32(0.5)) and bool(valid[i_best])
         ts_i, te_i = st[i_best], t_end[i_best]
-        margin = wlen // 2
-        overlap = (st <= te_i + margin) & (t_end >= ts_i - margin)
+        # same-placement suppression: >50% mutual overlap on the genome
+        # AND the same DP diagonal band (tandem-shifted competitors keep
+        # their own candidate slot)
+        ov = np.minimum(te_i, t_end) - np.maximum(ts_i, st)
+        span_min = np.minimum(te_i - ts_i, t_end - st)
+        d_sel = t_end[i_best] - q_end[i_best]
+        same_diag = np.abs((t_end - q_end) - d_sel) < 128
+        overlap = (2 * ov > span_min) & same_diag
         remaining &= ~overlap
         # the emitted score is the rank value itself (anchor bases by
         # default; the p-value key under rank_by_pvalue)
@@ -111,16 +121,21 @@ def test_chain_matches_numpy_oracle():
                        jnp.asarray(va),
                        jnp.asarray(np.array([n], np.int32)),
                        jnp.asarray(nlogp))
-        for lookback, rb, pvt in ((0, False, 0), (8, False, 0),
-                                  (0, True, 0), (0, True, 1), (0, True, 2)):
+        for lookback, rb, pvt, gc in (
+                (0, False, 0, False), (8, False, 0, False),
+                (0, True, 0, False), (0, True, 1, False),
+                (0, True, 2, False), (0, False, 0, True),
+                (0, True, 0, True)):
             c = chain_anchors(anch, jnp.asarray(np.array([read_len],
                                                          np.int32)),
                               n_cand=4, lookback=lookback,
-                              rank_by_pvalue=rb, p_value_type=pvt)
+                              rank_by_pvalue=rb, p_value_type=pvt,
+                              global_chain=gc)
             D = A if lookback <= 0 or lookback > A else lookback
             want = chain_oracle(qa[0], ta[0], la[0], va[0], nlogp[0],
                                 read_len, n_cand=4, D=D,
-                                rank_by_pvalue=rb, p_value_type=pvt)
+                                rank_by_pvalue=rb, p_value_type=pvt,
+                                global_chain=gc)
             for ci, (wqs, wqe, wts, wte, wsc, wok, wend, wcnt,
                      wsump) in enumerate(want):
                 assert bool(c.valid[0, ci]) == wok, (trial, lookback, ci)
@@ -221,6 +236,44 @@ def test_overlap_clip_no_double_count():
     c = chain_anchors(a, jnp.asarray(np.array([40], np.int32)), n_cand=1)
     # total weight = 12 (first) + 1 + 1 (clipped gains)
     assert float(c.score[0, 0]) == 14.0
+
+
+def test_global_chain_blocks_overlapping_anchors():
+    # --globalChainType >= 1: RestrictedGlobalChain semantics — a
+    # successor must start at-or-after the predecessor's end in both
+    # coordinates, so heavily overlapping anchors cannot share a chain
+    # (the LIS default chains them with clipped gain)
+    tr = [(0, 100, 12), (1, 101, 12), (2, 102, 12)]
+    a = make_anchors(tr)
+    rl = jnp.asarray(np.array([40], np.int32))
+    c_lis = chain_anchors(a, rl, n_cand=1)
+    c_gc = chain_anchors(a, rl, n_cand=1, global_chain=True)
+    assert float(c_lis.score[0, 0]) == 14.0   # 12 + 1 + 1 clipped
+    assert float(c_gc.score[0, 0]) == 12.0    # singleton chains only
+    assert int(c_gc.n_anchors[0, 0]) == 1
+
+
+def test_global_chain_tight_drift():
+    # drift is capped at 0.1x span with no slack under global chaining:
+    # a 20-base diagonal drift over a ~100-base span chains under the
+    # default LIS tolerance (0.35x + 50) but not the restricted chain
+    tr = [(0, 100, 12), (30, 150, 12)]
+    a = make_anchors(tr)
+    rl = jnp.asarray(np.array([80], np.int32))
+    c_lis = chain_anchors(a, rl, n_cand=1)
+    c_gc = chain_anchors(a, rl, n_cand=1, global_chain=True)
+    assert int(c_lis.n_anchors[0, 0]) == 2
+    assert int(c_gc.n_anchors[0, 0]) == 1
+
+
+def test_global_chain_keeps_clean_colinear_chain():
+    # non-overlapping colinear anchors chain identically either way
+    tr = [(0, 100, 12), (20, 121, 12), (40, 140, 12), (60, 161, 12)]
+    a = make_anchors(tr)
+    rl = jnp.asarray(np.array([80], np.int32))
+    c = chain_anchors(a, rl, n_cand=1, global_chain=True)
+    assert int(c.n_anchors[0, 0]) == 4
+    assert float(c.score[0, 0]) == 48.0
 
 
 def test_chain_members_walk():

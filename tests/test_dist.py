@@ -62,12 +62,48 @@ def test_shard_index_covers_genome():
     gi = build_genome_index(contigs, k=12)
     genomes, keys, pos, offs = shard_index(gi, 4, overlap=500)
     assert genomes.shape[0] == 4
+    assert offs.dtype == np.int64
     # every genome position with a valid kmer appears in >= 1 shard
+    # (positions are shard-local; globalize with the int64 offsets)
     all_pos = set()
     for s in range(4):
         valid = keys[s] != np.uint32(0xFFFFFFFF)
-        all_pos.update((pos[s][valid]).tolist())
+        all_pos.update((pos[s][valid].astype(np.int64) + offs[s]).tolist())
     assert len(all_pos) >= len(gi.pos_sorted)  # overlap adds duplicates
+
+
+def test_shard_index_fast_path_arrays():
+    """The per-shard fast-path arrays must match what a replicated
+    DeviceIndex builds for the same slice (VERDICT r2 item 3: the sharded
+    path ran the slow anchor fallback)."""
+    contigs = random_genome(30_000, seed=3)
+    gi = build_genome_index(contigs, k=12)
+    genomes, keys, pos, offs, fast = shard_index(gi, 2, overlap=500,
+                                                 fast_path=True)
+    for s in range(2):
+        valid = keys[s] != np.uint32(0xFFFFFFFF)
+        m = int(valid.sum())
+        # LUT brackets: bucket_starts[key] .. bucket_starts[key+1] spans
+        # exactly the slots holding that key
+        bs = fast["bucket_starts"][s]
+        ks = keys[s][:m]
+        for key in np.unique(ks[:200]):
+            lo, hi = int(bs[int(key)]), int(bs[int(key) + 1])
+            assert (ks[lo:hi] == key).all() and hi - lo >= 1
+        # records column 0 is the sentinel-shifted local position
+        np.testing.assert_array_equal(
+            fast["pos_records"][s][:m, 0].astype(np.int64),
+            pos[s][:m].astype(np.int64) + 1)
+        # packed words agree with a from-scratch build over the slice
+        from blasr_tpu.index.genome import build_packed_words
+        gl = len(gi.genome)
+        lo = int(offs[s])
+        hi = min(gl, lo + (-(-gl // 2)) + 500)
+        gsent = np.concatenate([np.full(1, 4, np.int8),
+                                gi.genome[lo:hi].astype(np.int8)])
+        gw, gn = build_packed_words(gsent)
+        np.testing.assert_array_equal(fast["gwords"][s][: len(gw)], gw)
+        np.testing.assert_array_equal(fast["gnwords"][s][: len(gn)], gn)
 
 
 def test_ref_sharded_finds_same_best_hits():
@@ -78,8 +114,8 @@ def test_ref_sharded_finds_same_best_hits():
                     gaps, **static)
     mesh = make_mesh(2, 2)
     with mesh:
-        out = map_batch_ref_sharded(mesh, gi, reads, lens, submat, gaps,
-                                    **static)
+        out, offs, n_dp = map_batch_ref_sharded(mesh, gi, reads, lens,
+                                                submat, gaps, **static)
     # rows come back per data-shard [fwd, rc] interleaved; reconstruct
     n_data = 2
     Bl = B // n_data
@@ -101,3 +137,56 @@ def test_ref_sharded_finds_same_best_hits():
             matched += 1
     total = sum(1 for r in range(2 * B) if ref_np.valid[r].any())
     assert matched >= total * 0.9, f"{matched}/{total}"
+
+
+def test_ref_sharded_boundary_reads_and_global_coords():
+    """Reads straddling a shard cut must be recovered via the overlap, and
+    globalize_sharded must reproduce the replicated run's coordinates
+    (int64; VERDICT r2 item 3)."""
+    from blasr_tpu.dist.mesh import globalize_sharded
+
+    B, L = 8, 256
+    contigs = random_genome(50_000, seed=21)
+    gi = build_genome_index(contigs, k=12)
+    n_ref = 2
+    # place every read across the (overlap-free) shard cut at ceil(G/2)
+    cut = -(-len(gi.genome) // n_ref)
+    rng = np.random.default_rng(5)
+    reads = np.full((B, L), 4, dtype=np.int8)
+    lens = np.zeros(B, dtype=np.int32)
+    truth = []
+    for i in range(B):
+        start = cut - 100 - int(rng.integers(0, 60))
+        seq = gi.genome[start:start + 220].copy()
+        reads[i, : len(seq)] = seq
+        lens[i] = len(seq)
+        truth.append(start)
+    p = MappingParams().make_sane()
+    submat = jnp.asarray(np.asarray(p.score_matrix, np.float32).reshape(25))
+    gaps = jnp.asarray([4, 4, 5, 5], jnp.float32)
+    cfg = ShapeConfig(buckets=(L,), band_width=128)
+    static = dict(cfg_k=12, L=L, W=cfg.window_len(L), w_b=128, C=4, A=64,
+                  O=4, E=36, T=L + cfg.window_len(L), max_chain=64,
+                  min_match=12, max_anchors_per_pos=1000, max_lcp=0,
+                  indel_rate=0.3)
+    mesh = make_mesh(2, n_ref)
+    with mesh:
+        out, offs, n_dp = map_batch_ref_sharded(mesh, gi, reads, lens,
+                                                submat, gaps, **static)
+    res = unpack_batch(out)
+    ts, te = globalize_sharded(res, offs, n_dp)
+    assert ts.dtype == np.int64
+    # rows per data shard: [fwd x B/2, rc x B/2]
+    n_data, Bl = 2, B // 2
+    found = 0
+    for d in range(n_data):
+        for i in range(Bl):
+            row = d * 2 * Bl + i
+            ok = res.valid[row] & (res.dp_slot[row] >= 0)
+            if not ok.any():
+                continue
+            best = int(np.argmin(np.where(ok, res.score[row], 1 << 30)))
+            t0 = int(ts[row][best])
+            if abs(t0 - truth[d * Bl + i]) <= 50:
+                found += 1
+    assert found >= int(B * 0.9), f"boundary reads found: {found}/{B}"

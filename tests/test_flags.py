@@ -2,8 +2,8 @@
 
 Covers: --pvaltype 0/1/2 distinct weightors, --fastMaxInterval /
 --advanceHalf lookback-limited chaining, --aggressiveIntervalCut,
---advanceExactMatches, --minExpand, --useSensitiveSearch, and loud
-rejection of --nowarp / --globalChainType.
+--advanceExactMatches, --minExpand, --useSensitiveSearch, and
+--nowarp / --globalChainType 1 support.
 """
 
 import numpy as np
@@ -213,9 +213,15 @@ def test_cli_rejects_unsupported(tmp_path):
                 [FastaRecord("r/1/0_100", contigs[0].seq[:100])])
     args = [str(tmp_path / "r.fa"), str(tmp_path / "g.fa"), "-m", "4",
             "--out", str(tmp_path / "o.m4")]
-    assert run(args + ["--nowarp"]) == 1
-    assert run(args + ["--globalChainType", "1"]) == 1
+    # --nowarp (structural no-op: the chain DP is exhaustive) and
+    # --globalChainType 1 (restricted-global-chain transitions) are
+    # supported: a clean full-copy read maps identically under both
     assert run(args) == 0
+    base = (tmp_path / "o.m4").read_text()
+    assert run(args + ["--nowarp"]) == 0
+    assert (tmp_path / "o.m4").read_text() == base
+    assert run(args + ["--globalChainType", "1"]) == 0
+    assert (tmp_path / "o.m4").read_text() == base
 
 
 def test_cli_filter_aliases_and_score_sign(tmp_path):

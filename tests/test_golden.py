@@ -9,7 +9,9 @@ outputs diffed byte-for-byte against checked-in goldens
 Coverage (the ctest contract, SURVEY.md §4): every output format m0-m5 +
 SAM; soft/hard/subread clipping; randombest determinism; affine mode;
 --bwt index input; an E. coli-scale genome; concordant subread mapping;
-a CCS-passes workload.
+a CCS-passes workload; FASTQ --useQuality; bax.h5 subread splitting with
+--noSplitSubreads and --holeNumbers; multipart bas.h5; dataset-XML
+filters.
 
 Regenerate (only when an intentional behavior change is reviewed):
     python tests/test_golden.py regen
@@ -54,6 +56,15 @@ CASES = [
     #    --useQuality turns on QV-aware rescoring; SAM emits QUAL --
     ("m4.fastq", "fastq", ["-m", "4", "--useQuality"]),
     ("sam.fastq", "fastq", ["--sam", "--clipping", "soft", "--useQuality"]),
+    # -- bax.h5 polymerase reads: region-table subread splitting
+    #    (ctest/noSplitSubreads.t + holeNumbers.t roles) --
+    ("m4.bax", "bax", ["-m", "4"]),
+    ("m4.nosplit", "bax", ["-m", "4", "--noSplitSubreads"]),
+    ("m4.holes", "bax", ["-m", "4", "--holeNumbers", "4-11"]),
+    # -- new-style bas.h5 with /MultiPart/Parts (ctest/multipart.t) --
+    ("m4.multipart", "multipart", ["-m", "4"]),
+    # -- dataset XML input with a length filter (ctest/dataset.t) --
+    ("m4.xml", "dataset", ["-m", "4"]),
 ]
 
 
@@ -185,9 +196,101 @@ def make_fastq(d):
     return path, os.path.join(d, "genome_fq.fa"), []
 
 
+def _bax_movie(d, movie, holes, genome_seed, read_seed, junk_seed):
+    """One deterministic bax.h5 movie: per-ZMW polymerase reads of
+    junk + insert + adapter + insert + junk, with Insert/HQRegion rows."""
+    from blasr_tpu.io.hdf import REGION_TYPES, ZmwRead, write_bax
+    from blasr_tpu.sim import random_genome, simulate_reads
+    ins_t = REGION_TYPES.index("Insert")
+    hq_t = REGION_TYPES.index("HQRegion")
+    contigs = random_genome(30_000, seed=genome_seed)
+    sims = simulate_reads(contigs, 2 * len(holes), read_len=(200, 400),
+                          accuracy=0.9, seed=read_seed)
+    rng = np.random.default_rng(junk_seed)
+    zmws, regions = [], []
+    si = 0
+    for hole in holes:
+        parts, rows = [], []
+        pos = 0
+        parts.append(rng.integers(0, 4, 50).astype(np.int8))
+        pos += 50
+        for _ in range(2):
+            ins = sims[si].rec.seq
+            si += 1
+            rows.append([hole, ins_t, pos, pos + len(ins), -1])
+            parts.append(ins)
+            pos += len(ins)
+            parts.append(rng.integers(0, 4, 45).astype(np.int8))
+            pos += 45
+        seq = np.concatenate(parts)
+        rows.append([hole, hq_t, 30, len(seq) - 20, 850])
+        zmws.append(ZmwRead(hole, seq, {}))
+        regions.extend(rows)
+    path = os.path.join(d, f"{movie}.bax.h5")
+    write_bax(path, movie, zmws, np.asarray(regions, np.int32))
+    return path, contigs
+
+
+def make_bax(d):
+    from blasr_tpu.io.fasta import write_fasta
+    path, contigs = _bax_movie(d, "m_gold", (4, 11, 19), 4441, 4442, 4443)
+    write_fasta(os.path.join(d, "genome_bax.fa"), contigs)
+    return path, os.path.join(d, "genome_bax.fa"), ["--minReadLength", "50"]
+
+
+def make_multipart(d):
+    """bas.h5 with no /PulseData and a /MultiPart/Parts dataset naming two
+    bax.h5 parts: the run must map the union of both parts' ZMWs."""
+    import h5py
+    from blasr_tpu.io.fasta import write_fasta
+    p1, contigs = _bax_movie(d, "m_part1", (3, 12), 4441, 5551, 5552)
+    # part 2 shares the genome (same seed) so both parts' reads map to it
+    p2, _ = _bax_movie(d, "m_part2", (21, 30), 4441, 5553, 5554)
+    bas = os.path.join(d, "m_mp.bas.h5")
+    with h5py.File(bas, "w") as f:
+        f.create_dataset(
+            "MultiPart/Parts",
+            data=np.array([os.path.basename(p1).encode(),
+                           os.path.basename(p2).encode()]))
+    write_fasta(os.path.join(d, "genome_mp.fa"), contigs)
+    return bas, os.path.join(d, "genome_mp.fa"), ["--minReadLength", "50"]
+
+
+def make_dataset(d):
+    """subreadset XML over FASTA reads with a length >= 300 filter."""
+    from blasr_tpu.io.fasta import FastaRecord, write_fasta
+    from blasr_tpu.sim import random_genome, simulate_reads
+    contigs = random_genome(40_000, seed=6661)
+    sims = simulate_reads(contigs, 8, read_len=(150, 700), accuracy=0.88,
+                          seed=6662)
+    recs = [FastaRecord(f"movie/{i}/0_{len(s.rec.seq)}", s.rec.seq)
+            for i, s in enumerate(sims)]
+    write_fasta(os.path.join(d, "ds_reads.fa"), recs)
+    write_fasta(os.path.join(d, "genome_ds.fa"), contigs)
+    xml = os.path.join(d, "ds.subreadset.xml")
+    with open(xml, "w") as f:
+        f.write("""<?xml version="1.0" encoding="utf-8"?>
+<pbds:SubreadSet xmlns:pbbase="http://pacificbiosciences.com/PacBioBaseDataModel.xsd"
+  xmlns:pbds="http://pacificbiosciences.com/PacBioDatasets.xsd">
+  <pbbase:ExternalResources>
+    <pbbase:ExternalResource ResourceId="ds_reads.fa"/>
+  </pbbase:ExternalResources>
+  <pbds:Filters>
+    <pbds:Filter>
+      <pbbase:Properties>
+        <pbbase:Property Name="length" Value="300" Operator="&gt;="/>
+      </pbbase:Properties>
+    </pbds:Filter>
+  </pbds:Filters>
+</pbds:SubreadSet>
+""")
+    return xml, os.path.join(d, "genome_ds.fa"), []
+
+
 WORLDS = {"small": make_small, "small_bwt": make_small_bwt,
           "big": make_big, "zmw": make_zmw, "ccs": make_ccs,
-          "fastq": make_fastq}
+          "fastq": make_fastq, "bax": make_bax,
+          "multipart": make_multipart, "dataset": make_dataset}
 
 
 def run_case(d, name, world, flags, world_cache):

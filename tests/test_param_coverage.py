@@ -95,6 +95,7 @@ WIRED = {
     "verbosity": "interval prints",
     "emulate_nucmer": "make_sane preset",
     "do_sensitive_search": "Mapper.map_reads sensitive re-run",
+    "global_chain_type": "kernels/chain restricted-global-chain transitions",
 }
 
 # Structural on this architecture: the behavior the flag selects in the
@@ -104,8 +105,8 @@ WIRED = {
 STRUCTURAL = {
     "do_global_alignment": "window spans widen to the read ends "
                            "unconditionally here (commit 93a895a)",
-    "warp": "warp chaining is the only formulation; --nowarp rejected",
-    "global_chain_type": "CLI rejects values != 0",
+    "warp": "warp only speeds the reference's CPU window advance; the "
+            "chain DP is exhaustive either way, so --nowarp is a no-op",
     "refine_alignments": "refinement is fused into the banded DP",
     "use_guided_align": "the guided band path is the aligner itself",
     "guided_align_band_size": "band is the 128-lane hardware width",

@@ -1,0 +1,144 @@
+"""Genome-scale ref-shard parity soak (VERDICT r2 item 3).
+
+Runs the reference-sharded mapping path on the 8-device virtual CPU mesh
+against a large genome (default 200 Mbp) and asserts placement parity
+with the replicated single-device run — including reads placed near
+shard boundaries and int64 coordinate globalization.
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python tools/soak_sharded.py --mbp 200 --reads 64
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mbp", type=float, default=200.0)
+    ap.add_argument("--reads", type=int, default=64)
+    ap.add_argument("--boundary-reads", type=int, default=16)
+    ap.add_argument("--L", type=int, default=2048)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from blasr_tpu.dist.mesh import (
+        globalize_sharded, make_mesh, map_batch_ref_sharded)
+    from blasr_tpu.index import build_genome_index
+    from blasr_tpu.params import MappingParams, ShapeConfig
+    from blasr_tpu.pipeline.map_read import (
+        DeviceIndex, map_batch, unpack_batch)
+    from blasr_tpu.sim import random_genome, simulate_reads
+
+    n_ref = 8
+    n = int(args.mbp * 1e6)
+    t0 = time.time()
+    contigs = random_genome(n, seed=args.seed)
+    gi = build_genome_index(contigs, k=12)
+    print(f"# {args.mbp:.0f} Mbp k=12 index in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+
+    L = args.L
+    rng = np.random.default_rng(args.seed + 1)
+    sims = simulate_reads(contigs, args.reads, read_len=(500, L - 60),
+                          accuracy=0.88, seed=args.seed + 2)
+    recs = [(s.rec.seq, s.tstart) for s in sims]
+    # extra reads straddling every shard cut (clean copies, truth known)
+    base = -(-n // n_ref)
+    for j in range(args.boundary_reads):
+        cut = base * (1 + j % (n_ref - 1))
+        start = cut - 600 - int(rng.integers(0, 400))
+        recs.append((gi.genome[start:start + 1200].copy(), start))
+    B = len(recs)
+    # pad B to the data axis (1 here: whole mesh on ref)
+    reads = np.full((B, L), 4, dtype=np.int8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, (seq, _) in enumerate(recs):
+        m = min(len(seq), L)
+        reads[i, :m] = seq[:m]
+        lens[i] = m
+
+    p = MappingParams().make_sane()
+    submat = jnp.asarray(np.asarray(p.score_matrix, np.float32).reshape(25))
+    gaps = jnp.asarray([4, 4, 5, 5], jnp.float32)
+    cfg = ShapeConfig(buckets=(L,), band_width=128)
+    static = dict(cfg_k=12, L=L, W=cfg.window_len(L), w_b=128, C=4, A=256,
+                  O=3, E=20, T=L + cfg.window_len(L), max_chain=256,
+                  min_match=12, max_anchors_per_pos=10000, max_lcp=0,
+                  indel_rate=0.3)
+
+    t0 = time.time()
+    dev = DeviceIndex.from_host(gi)
+    rep = unpack_batch(map_batch(dev, jnp.asarray(reads), jnp.asarray(lens),
+                                 submat, gaps, **static))
+    print(f"# replicated pass in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    mesh = make_mesh(1, n_ref)
+    t0 = time.time()
+    with mesh:
+        out, offs, n_dp = map_batch_ref_sharded(
+            mesh, gi, reads, lens, submat, gaps, **static)
+    sh = unpack_batch(out)
+    ts_g, te_g = globalize_sharded(sh, offs, n_dp)
+    print(f"# sharded pass in {time.time()-t0:.0f}s "
+          f"(offsets int64: {offs.dtype})", file=sys.stderr)
+
+    # parity: per read-row, the sharded best must match the replicated
+    # best (same score, same global coordinates)
+    same = total = truth_ok = 0
+    for row in range(2 * B):
+        rv = rep.valid[row] & (rep.dp_slot[row] >= 0)
+        sv = sh.valid[row] & (sh.dp_slot[row] >= 0)
+        if not rv.any():
+            continue
+        total += 1
+        rbest = int(np.argmin(np.where(rv, rep.score[row], 1 << 30)))
+        if not sv.any():
+            print(f"# row {row}: sharded found nothing "
+                  f"(repl score {rep.score[row][rbest]:.0f} "
+                  f"t {rep.t_start[row][rbest]})", file=sys.stderr)
+            continue
+        sbest = int(np.argmin(np.where(sv, sh.score[row], 1 << 30)))
+        ok = (rep.score[row][rbest] == sh.score[row][sbest]
+              and rep.t_start[row][rbest] == ts_g[row][sbest]
+              and rep.t_end[row][rbest] == te_g[row][sbest])
+        same += int(ok)
+        if not ok:
+            print(f"# row {row}: repl (score {rep.score[row][rbest]:.0f}, "
+                  f"t {rep.t_start[row][rbest]}) != sharded "
+                  f"(score {sh.score[row][sbest]:.0f}, t {ts_g[row][sbest]})",
+                  file=sys.stderr)
+        # boundary reads: truth check on the sharded result
+        i = row % B
+        if i >= len(sims) and row < B:
+            truth = recs[i][1]
+            truth_ok += int(abs(int(ts_g[row][sbest]) - truth) < 100)
+
+    nb = args.boundary_reads
+    print(f"# parity {same}/{total} rows; boundary truth "
+          f"{truth_ok}/{nb}", file=sys.stderr)
+    import json
+    print(json.dumps({
+        "mbp": args.mbp, "n_ref": n_ref, "rows": total, "parity": same,
+        "parity_pct": round(100.0 * same / max(total, 1), 2),
+        "boundary_reads": nb, "boundary_correct": truth_ok}))
+    assert same >= 0.97 * total, f"parity {same}/{total}"
+    assert truth_ok >= nb - 1, f"boundary {truth_ok}/{nb}"
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
