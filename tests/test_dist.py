@@ -190,3 +190,38 @@ def test_ref_sharded_boundary_reads_and_global_coords():
             if abs(t0 - truth[d * Bl + i]) <= 50:
                 found += 1
     assert found >= int(B * 0.9), f"boundary reads found: {found}/{B}"
+
+
+def test_globalize_sharded_exact_past_int32():
+    """Host-side globalization stays exact beyond 2^31 (the reference's
+    4 Gbp / 32-bit SA ceiling, utils/SAWriter.cpp:186-193): shard-local
+    int32 coords + int64 shard offsets from a >4 Gbp virtual layout."""
+    from types import SimpleNamespace
+
+    from blasr_tpu.dist.mesh import globalize_sharded
+
+    n_dp = 8
+    # shard offsets for a 4.8 Gbp genome in 8 slices of 600 Mbp
+    offs = np.arange(8, dtype=np.int64) * 600_000_000
+    # candidates: (row, cand) grid; slots place cand c of row r on shard c
+    slot = np.tile(np.arange(4, dtype=np.int32) * n_dp + 1, (2, 1))
+    slot[1, 2] = -1                       # one unaligned candidate
+    ts_local = np.full((2, 4), 2_000_000, dtype=np.int32)
+    te_local = ts_local + 1500
+    res = SimpleNamespace(dp_slot=slot, t_start=ts_local, t_end=te_local)
+    ts, te = globalize_sharded(res, offs, n_dp)
+    assert ts.dtype == np.int64 and te.dtype == np.int64
+    want = offs[:4] + 2_000_000
+    np.testing.assert_array_equal(ts[0], want)
+    np.testing.assert_array_equal(te[0], want + 1500)
+    assert ts[0, 3] == 1_802_000_000 and int(te[0, 3]) > 0
+    # shard 7's coordinates exceed int32 and stay exact
+    res2 = SimpleNamespace(
+        dp_slot=np.full((1, 1), 7 * n_dp, np.int32),
+        t_start=np.full((1, 1), 3_000_000, np.int32),
+        t_end=np.full((1, 1), 3_001_500, np.int32))
+    ts2, te2 = globalize_sharded(res2, offs, n_dp)
+    assert int(ts2[0, 0]) == 4_203_000_000   # > 2^31: int32 would wrap
+    assert int(te2[0, 0]) == 4_203_001_500
+    # the unaligned candidate keeps its local value un-offset
+    assert ts[1, 2] == 2_000_000
