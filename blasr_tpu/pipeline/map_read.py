@@ -1338,11 +1338,34 @@ class Mapper:
                     return 0.0
                 return max(a.qend - a.qstart for a in order[j]) / len(r.seq)
 
+            def ambiguous(j):
+                """Best placement has a distinct-locus competitor within
+                15% of its score: occurrence sampling may have starved the
+                true copy's anchors, handing the win to a fully-anchored
+                wrong copy via band quality (the reference never has this
+                failure mode because it emits every occurrence — repeat
+                microbench: 20/24 own-copy default vs 24/24 emit-all)."""
+                alns = order[j]
+                if not alns or len(alns) < 2:
+                    return False
+                best = min(alns, key=lambda a: a.score)
+                for a in alns:
+                    if a is best or a.score > best.score * 0.85:
+                        continue
+                    if a.tindex != best.tindex or a.strand != best.strand:
+                        return True
+                    ov = min(a.tend, best.tend) - max(a.tstart, best.tstart)
+                    if 2 * ov < min(a.tend - a.tstart,
+                                    best.tend - best.tstart):
+                        return True
+                return False
+
             deep = []
             for j, r in kept:
                 total, clipped = self._anchor_totals.get(id(r), (0, 0))
-                if (clipped > max(total, 64)
-                        and coverage(j, r) < 0.5):
+                if clipped > max(total, 64) and coverage(j, r) < 0.5:
+                    deep.append((j, r))
+                elif clipped > 0 and ambiguous(j):
                     deep.append((j, r))
             if deep:
                 # raise the occurrence capacity to the deepest observed
