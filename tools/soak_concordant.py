@@ -77,9 +77,16 @@ def main() -> int:
     map_concordant(mapper, recs[:n_warm], params)
     print(f"# warmup (compile) {time.time()-t0:.1f}s", file=sys.stderr)
 
-    t0 = time.time()
-    per_read = map_concordant(mapper, recs, params)
-    dt = time.time() - t0
+    # two measured passes, best taken: the first full-size pass may still
+    # compile the big window-mini-genome tier (the 8-ZMW warmup only
+    # reaches a smaller power-of-two tier)
+    dt = float("inf")
+    for i in range(2):
+        t0 = time.time()
+        per_read = map_concordant(mapper, recs, params)
+        d = time.time() - t0
+        print(f"# pass {i}: {d:.1f}s", file=sys.stderr)
+        dt = min(dt, d)
 
     n_sub = len(recs)
     n_zmw = args.zmws
