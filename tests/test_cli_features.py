@@ -274,3 +274,18 @@ def test_samqv_subset_tags(world, tmp_path):
     rec_sub = [l for l in open(out_sub) if not l.startswith("@")][0]
     assert "iq:Z:" in rec_all and "dq:Z:" in rec_all
     assert "iq:Z:" in rec_sub and "dq:Z:" not in rec_sub
+
+
+def test_open_fail_warns_and_continues(world, tmp_path, capsys):
+    """An unopenable input file warns and processing continues with the
+    remaining files (Blasr.cpp:1352-1355, ctest/open_fail.t)."""
+    d, contigs = world
+    fofn = tmp_path / "in.fofn"
+    fofn.write_text(f"{tmp_path}/no_such_reads.fa\n{d}/reads.fa\n")
+    out = tmp_path / "out.m4"
+    assert run([str(fofn), str(d / "genome.fa"), "-m", "4",
+                "--out", str(out)]) == 0
+    err = capsys.readouterr().err
+    assert "WARNING: Could not open" in err
+    assert "no_such_reads.fa" in err
+    assert open(out).read().strip()  # the good file still mapped
