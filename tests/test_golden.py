@@ -52,6 +52,11 @@ CASES = [
     ("m4.concordant", "zmw", ["-m", "4", "--concordant", "--bestn", "1"]),
     # -- ccs.h5 with Passes (ctest/useccsall.t role) --
     ("m4.ccs", "ccs", ["-m", "4", "--useccs"]),
+    # -- ccs.h5 as plain input maps the consensus calls (ctest/ccsH5.t:
+    #    default is the same as --useccsdenovo) --
+    ("m4.ccsdenovo", "ccs", ["-m", "4"]),
+    # -- every pass, best hit only (ctest/useccsallBestN1.t role) --
+    ("m4.ccsall.b1", "ccs", ["-m", "4", "--useccsall", "--bestn", "1"]),
     # -- FASTQ input with QVs (ctest/deterministic.t QV-present role):
     #    --useQuality turns on QV-aware rescoring; SAM emits QUAL --
     ("m4.fastq", "fastq", ["-m", "4", "--useQuality"]),
@@ -65,6 +70,23 @@ CASES = [
     ("m4.multipart", "multipart", ["-m", "4"]),
     # -- dataset XML input with a length filter (ctest/dataset.t) --
     ("m4.xml", "dataset", ["-m", "4"]),
+    # -- heuristic interval-search variants (ctest/fastMaxInterval.t +
+    #    aggressiveIntervalCut.t roles) pinned on the big world --
+    ("m4.fastmax", "big", ["-m", "4", "--fastMaxInterval"]),
+    ("m4.aggressive", "big", ["-m", "4", "--aggressiveIntervalCut"]),
+    # -- output filter criteria (ctest/filtercriteria.t role) --
+    ("m4.filter", "small", ["-m", "4", "--minPctSimilarity", "82",
+                            "--minAlnLength", "500"]),
+    # -- FOFN input (ctest/fofn.t role) --
+    ("m4.fofn", "fofn", ["-m", "4"]),
+    # -- unaligned BAM input (ctest/bamIn.t role; equivalence with the
+    #    FASTA run is asserted by test_bamin_equals_fasta) --
+    ("m4.bamin", "bamin", ["-m", "4"]),
+    # -- unaligned-read listing (ctest/unaligned.t role); the golden
+    #    includes the --unaligned file contents --
+    ("m4.unal", "unal", ["-m", "4", "--unaligned", "@D@/unal.txt"]),
+    ("m4.unal.names", "unal", ["-m", "4", "--unaligned", "@D@/unal2.txt",
+                               "--noPrintUnalignedSeqs"]),
 ]
 
 
@@ -287,10 +309,65 @@ def make_dataset(d):
     return xml, os.path.join(d, "genome_ds.fa"), []
 
 
+def make_fofn(d):
+    """FOFN input naming two FASTA parts (ctest/fofn.t role): the run must
+    map the concatenation of both files' reads."""
+    from blasr_tpu.io.fasta import read_fasta, write_fasta
+    reads, genome, _ = make_small(d)
+    recs = read_fasta(reads)
+    p1 = os.path.join(d, "fofn_part1.fa")
+    p2 = os.path.join(d, "fofn_part2.fa")
+    write_fasta(p1, recs[:7])
+    write_fasta(p2, recs[7:])
+    fofn = os.path.join(d, "reads.fofn")
+    with open(fofn, "w") as f:
+        f.write(p1 + "\n" + p2 + "\n")
+    return fofn, genome, []
+
+
+def make_bamin(d):
+    """Unaligned-BAM input with the SAME reads as the small world
+    (ctest/bamIn.t role: fasta-vs-bam input equivalence; see
+    test_bamin_equals_fasta)."""
+    from blasr_tpu.io.bam import BamRecord, BamWriter
+    from blasr_tpu.io.fasta import read_fasta
+    reads, genome, _ = make_small(d)
+    recs = read_fasta(reads)
+    bam = os.path.join(d, "reads_in.bam")
+    with open(bam, "wb") as f:
+        w = BamWriter(f, "@HD\tVN:1.5\tSO:unknown\n", [], [])
+        for r in recs:
+            w.write_record(BamRecord(r.name, 4, -1, -1, 255, [],
+                                     r.seq, None))
+        w.close()
+    return bam, genome, []
+
+
+def make_unal(d):
+    """Small world plus two unmappable junk reads (ctest/unaligned.t
+    role): --unaligned must list exactly those reads."""
+    from blasr_tpu.io.fasta import FastaRecord, write_fasta
+    from blasr_tpu.sim import random_genome, simulate_reads
+    contigs = random_genome(60_000, seed=881, n_contigs=2)
+    sims = simulate_reads(contigs, 6, read_len=(300, 800), accuracy=0.87,
+                          seed=882)
+    recs = [FastaRecord(f"movie/{i}/0_{len(s.rec.seq)}", s.rec.seq)
+            for i, s in enumerate(sims)]
+    rng = np.random.default_rng(883)
+    for j in range(2):
+        junk = rng.integers(0, 4, 450).astype(np.int8)
+        recs.append(FastaRecord(f"movie/{90 + j}/0_450", junk))
+    write_fasta(os.path.join(d, "genome_un.fa"), contigs)
+    write_fasta(os.path.join(d, "reads_un.fa"), recs)
+    return (os.path.join(d, "reads_un.fa"),
+            os.path.join(d, "genome_un.fa"), [])
+
+
 WORLDS = {"small": make_small, "small_bwt": make_small_bwt,
           "big": make_big, "zmw": make_zmw, "ccs": make_ccs,
           "fastq": make_fastq, "bax": make_bax,
-          "multipart": make_multipart, "dataset": make_dataset}
+          "multipart": make_multipart, "dataset": make_dataset,
+          "fofn": make_fofn, "bamin": make_bamin, "unal": make_unal}
 
 
 def run_case(d, name, world, flags, world_cache):
@@ -299,8 +376,12 @@ def run_case(d, name, world, flags, world_cache):
         world_cache[world] = WORLDS[world](d)
     reads, genome, extra = world_cache[world]
     out = os.path.join(d, f"out.{name}")
+    flags = [f.replace("@D@", d) for f in flags]
     assert run([reads, genome, "--out", out] + extra + flags) == 0
     text = open(out).read()
+    if "--unaligned" in flags:
+        unal = flags[flags.index("--unaligned") + 1]
+        text += "== unaligned ==\n" + open(unal).read()
     if name.startswith("sam"):
         # drop the @PG line (embeds the command line / output path)
         text = "\n".join(l for l in text.splitlines()
@@ -322,6 +403,16 @@ def test_golden(world_dir, name, world, flags):
     got = run_case(d, name, world, flags, cache)
     want = open(golden).read()
     assert got == want, f"output for {name} differs from {golden}"
+
+
+def test_bamin_equals_fasta():
+    """ctest/bamIn.t contract: the same reads via FASTA and via unaligned
+    BAM produce identical alignments."""
+    a = os.path.join(GOLDEN_DIR, "golden.m4")
+    b = os.path.join(GOLDEN_DIR, "golden.m4.bamin")
+    if not (os.path.exists(a) and os.path.exists(b)):
+        pytest.skip("goldens missing")
+    assert open(a).read() == open(b).read()
 
 
 def regen(only_missing=False):
