@@ -476,10 +476,20 @@ def run(argv: Optional[List[str]] = None) -> int:
     elif args.bwt:
         # --bwt path (Blasr.cpp:1073-1080): smaller artifact, slower load —
         # the BWT is inverted and the runtime k-mer index rebuilt
-        from blasr_tpu.cli.bwt2sa import contigs_from_concat
-        from blasr_tpu.index.bwt import invert_bwt, load_bwt
-        bwt, counts, names, lengths = load_bwt(args.bwt)
-        contigs = contigs_from_concat(invert_bwt(bwt, counts), names, lengths)
+        from blasr_tpu.io.refbin import is_ref_bwt
+        if is_ref_bwt(args.bwt):
+            # reference binary .bwt carries no contig names; the genome
+            # argument supplies them (the reference also reads the genome
+            # FASTA alongside the BWT, Blasr.cpp:1029-1080)
+            log(f"WARNING: {args.bwt} is a reference-format .bwt; "
+                "rebuilding the runtime index from the genome.")
+            contigs = read_fasta(args.genome)
+        else:
+            from blasr_tpu.cli.bwt2sa import contigs_from_concat
+            from blasr_tpu.index.bwt import invert_bwt, load_bwt
+            bwt, counts, names, lengths = load_bwt(args.bwt)
+            contigs = contigs_from_concat(invert_bwt(bwt, counts),
+                                          names, lengths)
         gi = build_genome_index(contigs, k=min(params.min_match_length, 16))
     else:
         contigs = read_fasta(args.genome)

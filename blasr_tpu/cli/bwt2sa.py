@@ -35,6 +35,24 @@ def run(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("-kmer", type=int, default=12)
     args = ap.parse_args(argv)
 
+    from blasr_tpu.io.refbin import is_ref_bwt, read_ref_bwt
+    if is_ref_bwt(args.bwtIn):
+        # reference binary .bwt -> reference binary .sa, the exact
+        # BwtToSuffixArray.cpp:25-31 contract (no contig names involved:
+        # the recovered SA has length-1 entries, rows 1-based in Locate)
+        from blasr_tpu.index.suffix_array import build_suffix_array
+        from blasr_tpu.io.refsa import lookup_table_from_sa, write_ref_sa
+        bwt, counts, _rate, _samples = read_ref_bwt(args.bwtIn)
+        genome = invert_bwt(bwt, counts)
+        # terminator-smallest convention, matching sawriter's .sa output
+        sa = build_suffix_array(genome)
+        p = min(args.kmer, 8)
+        table = lookup_table_from_sa(genome, sa, p)
+        write_ref_sa(args.saOut, sa.astype(np.uint32), p, table)
+        sys.stderr.write(
+            f"wrote {args.saOut} ({len(sa)} entries, reference layout)\n")
+        return 0
+
     bwt, counts, names, lengths = load_bwt(args.bwtIn)
     genome = invert_bwt(bwt, counts)
     contigs = contigs_from_concat(genome, names, lengths)

@@ -13,6 +13,8 @@ import argparse
 import sys
 from typing import List, Optional
 
+import numpy as np
+
 from blasr_tpu.index.bwt import build_bwt, save_bwt
 from blasr_tpu.index.genome import GenomeIndex, concat_contigs
 from blasr_tpu.io.fasta import read_fasta
@@ -45,12 +47,20 @@ def run(argv: Optional[List[str]] = None) -> int:
         except (FileNotFoundError, KeyError, ValueError):
             sys.stderr.write(f"WARNING: could not read SA from {args.saIn}; "
                              "rebuilding\n")
-    bwt, counts = build_bwt(genome, sa)
     out = args.bwtOut
     if out.endswith(".npz"):
-        out = out[:-4]
-    save_bwt(out, bwt, counts, seqdb.names, seqdb.lengths)
-    sys.stderr.write(f"wrote {out}.npz ({len(bwt)} rows)\n")
+        bwt, counts = build_bwt(genome, sa)
+        save_bwt(out[:-4], bwt, counts, seqdb.names, seqdb.lengths)
+        sys.stderr.write(f"wrote {out} ({len(bwt)} rows)\n")
+    else:
+        # reference binary layout (Bwt::Write, SuffixArrayToBWT.cpp:43-44):
+        # sequence + counts + sampled positions so Locate/bwt2sa works
+        from blasr_tpu.index.bwt import FMIndex
+        from blasr_tpu.io.refbin import write_ref_bwt
+        fm = FMIndex.from_text(genome, sa)
+        write_ref_bwt(out, fm.bwt, fm.counts, fm.sample_rate,
+                      np.maximum(fm.sa_sample, 0))
+        sys.stderr.write(f"wrote {out} ({len(fm.bwt)} rows, binary)\n")
     return 0
 
 

@@ -102,16 +102,21 @@ def run_print_tuple_count_table(argv: Optional[List[str]] = None) -> int:
         for rec in read_sequences(path):
             counts += build_ctab(rec.seq, args.wordsize).astype(np.int64)
     if table.endswith(".npz"):
-        table = table[:-4]
-    np.savez_compressed(table, k=np.int32(args.wordsize),
-                        counts=counts.astype(np.int32))
-    sys.stderr.write(f"wrote {table}.npz ({int(counts.sum())} tuples)\n")
+        np.savez_compressed(table[:-4], k=np.int32(args.wordsize),
+                            counts=counts.astype(np.int32))
+    else:
+        # reference binary layout (TupleCountTable::Write; the reference's
+        # default single-arg form names it f.fasta.ctab)
+        from blasr_tpu.io.refbin import write_ref_ctab
+        write_ref_ctab(table, args.wordsize, counts.astype(np.int32))
+    sys.stderr.write(f"wrote {table} ({int(counts.sum())} tuples)\n")
     return 0
 
 
 def load_ctab(path: str):
-    z = np.load(path, allow_pickle=False)
-    return int(z["k"]), z["counts"]
+    """Reference binary .ctab (Blasr.cpp:1136-1147 ct.Read) or our .npz."""
+    from blasr_tpu.io.refbin import load_any_ctab
+    return load_any_ctab(path)
 
 
 # ------------------------------------------------------------------- sals

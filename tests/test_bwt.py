@@ -46,7 +46,7 @@ def test_bwt_roundtrip_multicontig():
     np.testing.assert_array_equal(rec, genome.astype(np.uint8))
 
 
-def test_sa2bwt_bwt2sa_cli(tmp_path):
+def test_sa2bwt_bwt2sa_cli_npz(tmp_path):
     from blasr_tpu.cli import bwt2sa, sa2bwt, sawriter
     contigs = random_genome(3000, seed=9, n_contigs=2)
     fa = tmp_path / "g.fa"
@@ -54,7 +54,7 @@ def test_sa2bwt_bwt2sa_cli(tmp_path):
     assert sawriter.run([str(tmp_path / "g.sa"), str(fa),
                          "--fullSuffixArray"]) == 0
     assert sa2bwt.run([str(fa), str(tmp_path / "g.sa.npz"),
-                       str(tmp_path / "g.bwt")]) == 0
+                       str(tmp_path / "g.bwt.npz")]) == 0
     assert bwt2sa.run([str(tmp_path / "g.bwt.npz"),
                        str(tmp_path / "g2.sa")]) == 0
     from blasr_tpu.index.genome import GenomeIndex
@@ -64,6 +64,35 @@ def test_sa2bwt_bwt2sa_cli(tmp_path):
     np.testing.assert_array_equal(a.keys_sorted, b.keys_sorted)
     np.testing.assert_array_equal(a.pos_sorted, b.pos_sorted)
     assert a.seqdb.names == b.seqdb.names
+
+
+def test_sa2bwt_bwt2sa_cli_reference_binary(tmp_path):
+    """Plain .bwt/.sa names take the reference binary layouts end to end
+    (SuffixArrayToBWT.cpp:43-44 write, BwtToSuffixArray.cpp:25-31 invert)."""
+    from blasr_tpu.cli import bwt2sa, sa2bwt, sawriter
+    from blasr_tpu.index.genome import GenomeIndex, concat_contigs
+    from blasr_tpu.io.refbin import is_ref_bwt, read_ref_bwt
+    from blasr_tpu.io.refsa import is_ref_sa, read_ref_sa
+    contigs = random_genome(3000, seed=11, n_contigs=2)
+    genome, _ = concat_contigs(contigs)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, contigs)
+    assert sawriter.run([str(tmp_path / "g.sa"), str(fa),
+                         "--fullSuffixArray"]) == 0
+    assert sa2bwt.run([str(fa), str(tmp_path / "g.sa.npz"),
+                       str(tmp_path / "g.bwt")]) == 0
+    assert is_ref_bwt(str(tmp_path / "g.bwt"))
+    bwt, counts, rate, samples = read_ref_bwt(str(tmp_path / "g.bwt"))
+    assert len(bwt) == len(genome) + 1 and rate and samples is not None
+    rec = invert_bwt(bwt, counts)
+    np.testing.assert_array_equal(rec, genome.astype(np.uint8))
+    assert bwt2sa.run([str(tmp_path / "g.bwt"),
+                       str(tmp_path / "g2.sa")]) == 0
+    assert is_ref_sa(str(tmp_path / "g2.sa"))
+    sa, p, table = read_ref_sa(str(tmp_path / "g2.sa"))
+    gi = GenomeIndex.load(str(tmp_path / "g.sa.npz"))
+    np.testing.assert_array_equal(sa, np.asarray(gi.suffix_array))
+    assert table is not None and p == 8
 
 
 def test_blasr_cli_bwt_input(tmp_path, capsys):
@@ -79,10 +108,19 @@ def test_blasr_cli_bwt_input(tmp_path, capsys):
     assert sawriter.run([str(tmp_path / "g.sa"), str(fa),
                          "--fullSuffixArray"]) == 0
     assert sa2bwt.run([str(fa), str(tmp_path / "g.sa.npz"),
-                       str(tmp_path / "g.bwt")]) == 0
+                       str(tmp_path / "g.bwt.npz")]) == 0
     assert blasr.run([str(rd), str(fa), "-m", "4",
                       "--bwt", str(tmp_path / "g.bwt.npz"),
                       "--out", str(tmp_path / "out.m4")]) == 0
     lines = open(tmp_path / "out.m4").read().strip().splitlines()
     assert len(lines) >= 3
     assert all(len(l.split()) == 13 for l in lines)
+    # reference binary .bwt input: same alignments (index rebuilt from
+    # the genome argument, mirroring the reference-format .sa path)
+    assert sa2bwt.run([str(fa), str(tmp_path / "g.sa.npz"),
+                       str(tmp_path / "g.bwt")]) == 0
+    assert blasr.run([str(rd), str(fa), "-m", "4",
+                      "--bwt", str(tmp_path / "g.bwt"),
+                      "--out", str(tmp_path / "out2.m4")]) == 0
+    assert open(tmp_path / "out2.m4").read() == \
+        open(tmp_path / "out.m4").read()

@@ -28,13 +28,45 @@ def test_to_afg(genome_fa, tmp_path):
 
 def test_print_tuple_count_table_and_load(genome_fa, tmp_path):
     d, contigs = genome_fa
+    # plain .ctab name -> reference binary layout (TupleCountTable::Write,
+    # read back through the Blasr.cpp:1136-1147 ct.Read dispatch)
     tab = tmp_path / "g.ctab"
     assert st.run_print_tuple_count_table(
         [str(tab), str(d / "g.fa"), "-wordsize", "6"]) == 0
-    k, counts = st.load_ctab(str(tab) + ".npz")
+    from blasr_tpu.io.refbin import is_ref_ctab
+    assert is_ref_ctab(str(tab))
+    k, counts = st.load_ctab(str(tab))
     assert k == 6 and len(counts) == 4 ** 6
     total = sum(max(len(c.seq) - 5, 0) for c in contigs)
     assert counts.sum() == total
+    # .npz name -> our artifact; same counts through the same loader
+    assert st.run_print_tuple_count_table(
+        [str(tmp_path / "g.ctab.npz"), str(d / "g.fa"),
+         "-wordsize", "6"]) == 0
+    k2, counts2 = st.load_ctab(str(tmp_path / "g.ctab.npz"))
+    assert k2 == 6
+    import numpy as np
+    np.testing.assert_array_equal(counts, counts2)
+
+
+def test_ref_ctab_error_paths(tmp_path):
+    import numpy as np
+
+    from blasr_tpu.io.refbin import (is_ref_ctab, read_ref_ctab,
+                                     write_ref_ctab)
+    p = tmp_path / "bad.ctab"
+    # inconsistent header: countTableLength != 4^k
+    np.asarray([17, 0, 2] + [0] * 17, dtype="<i4").tofile(str(p))
+    assert not is_ref_ctab(str(p))
+    with pytest.raises(ValueError):
+        read_ref_ctab(str(p))
+    # truncated counts section
+    good = tmp_path / "t.ctab"
+    write_ref_ctab(str(good), 2, np.arange(16, dtype=np.int32))
+    data = open(good, "rb").read()
+    open(p, "wb").write(data[:-8])
+    with pytest.raises(ValueError):
+        read_ref_ctab(str(p))
 
 
 def test_sals_and_samodify(genome_fa, tmp_path, capsys):
