@@ -198,9 +198,15 @@ class BaxReader:
         the region table entirely (--ignoreRegions); use_hq=False skips HQ
         clipping (--ignoreHQRegions)."""
         out: List[FastaRecord] = []
+        # consensus reads keep the movie/hole/ccs naming convention
+        # (reference CcsConverter.cpp:86; region intervals describe raw
+        # polymerase coordinates and never split a consensus)
+        is_ccs = self.base == "PulseData/ConsensusBaseCalls"
         for i in range(len(self.holes)):
             z = self.read_zmw(i)
-            if self.region_table is not None and use_regions:
+            if is_ccs:
+                ivals = [(0, len(z.seq))] if len(z.seq) else []
+            elif self.region_table is not None and use_regions:
                 ivals = self.region_table.subread_intervals(
                     z.hole, min_score, split, use_hq=use_hq)
             else:
@@ -214,9 +220,10 @@ class BaxReader:
                     qual = z.tracks["QualityValue"][s:e].astype(np.int32)
                 tracks = ({n: v[s:e] for n, v in z.tracks.items()}
                           if z.tracks else None)
-                out.append(FastaRecord(
-                    f"{self.movie}/{z.hole}/{s}_{e}", z.seq[s:e], qual,
-                    tracks=tracks))
+                name = (f"{self.movie}/{z.hole}/ccs" if is_ccs
+                        else f"{self.movie}/{z.hole}/{s}_{e}")
+                out.append(FastaRecord(name, z.seq[s:e], qual,
+                                       tracks=tracks))
         return out
 
     def ccs_passes(self, i: int, full_only: bool = False):

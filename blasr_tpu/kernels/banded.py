@@ -93,9 +93,10 @@ def _pad_row(row: jnp.ndarray, fill) -> jnp.ndarray:
 def _align_one(
     read, window, offsets, qa, qb, ta, tb,
     submat, ins_open, ins_ext, del_open, del_ext, w_b,
-    hp_open=None, hp_ext=None,
+    hp_open=None, hp_ext=None, qv1=None, qv2=None,
 ):
     use_hp = hp_open is not None
+    use_qv = qv1 is not None
     """Forward DP for one read x one target window.
 
     read:    int8 [L]     query codes
@@ -103,10 +104,42 @@ def _align_one(
     offsets: int32 [L]    band start (window coord) per query row, monotone
     qa, qb:  int32        aligned query range [qa, qb)
     ta, tb:  int32        aligned window range [ta, tb)  (window coords)
+
+    QV-steered mode (qv1/qv2 given): the DP costs come from per-row QV
+    tracks instead of flat gap penalties — the reference's KBandAlign
+    with an IDS/QualityValue score function (PairwiseLocalAlign QV
+    branch, iblasr/BlasrAlignImpl.hpp:1276-1298; IDS semantics
+    BlasrHeaders.h:51-52): insertionQV prices an inserted query base,
+    deletionQV of the neighboring query base prices deleting a target
+    base whose identity matches the read's DeletionTag (else the global
+    deletion prior), substitutionQV prices a mismatch whose target base
+    matches the SubstitutionTag (else the substitution prior).  Gaps are
+    linear (open == extend), matching KBandAlign.  Packed layout:
+      qv1[j]: insQV | delQV<<8 | subQV<<16 | dtag<<24 | stag<<27
+      qv2[j]: delPrior | subPrior<<8
+    (8-bit costs; tag code 7 = "never matches" so per-row fallbacks to
+    the prior fields express missing tracks exactly.)
     """
     L = read.shape[0]
     W = window.shape[0]
     wpad = jnp.concatenate([window, jnp.full((w_b,), 4, dtype=window.dtype)])
+    if use_qv:
+        insq = (qv1 & 255).astype(jnp.float32)
+        delq = ((qv1 >> 8) & 255).astype(jnp.float32)
+        subq = ((qv1 >> 16) & 255).astype(jnp.float32)
+        dtagv = (qv1 >> 24) & 7
+        stagv = (qv1 >> 27) & 7
+        dpri = (qv2 & 255).astype(jnp.float32)
+        spri = ((qv2 >> 8) & 255).astype(jnp.float32)
+        # leading-deletion boundary profile uses row qa's deletion costs
+        # (the first query neighbor); prefix sums make it band-sliceable
+        dq0 = jnp.take(delq, qa)
+        dt0 = jnp.take(dtagv, qa)
+        dp0 = jnp.take(dpri, qa)
+        c0 = jnp.where(window.astype(jnp.int32) == dt0, dq0, dp0)
+        cumz = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                jnp.cumsum(c0)])  # [W+1]
+        cumz_ta = jnp.take(cumz, ta)
 
     # cell (r, w) == "consumed read[qa..r] and window[ta..o_r+w]"; the
     # boundary (virtual row qa-1) therefore has its zero-cost M cell at
@@ -114,8 +147,12 @@ def _align_one(
     # Callers must guarantee ta >= 1 so the boundary cell is addressable.
     def boundary(o_r):
         t_abs = o_r + jnp.arange(w_b, dtype=jnp.int32)
-        d = (t_abs - ta).astype(jnp.float32)
-        prof = jnp.where(t_abs >= ta, del_open + del_ext * d, INF)
+        if use_qv:
+            cg = jnp.take(cumz, jnp.clip(t_abs + 1, 0, W))
+            prof = jnp.where(t_abs >= ta, cg - cumz_ta, INF)
+        else:
+            d = (t_abs - ta).astype(jnp.float32)
+            prof = jnp.where(t_abs >= ta, del_open + del_ext * d, INF)
         m0 = jnp.where(t_abs == ta - 1, 0.0, INF)
         return m0, jnp.full((w_b,), INF), prof, jnp.full((w_b,), INF)
 
@@ -155,8 +192,14 @@ def _align_one(
         in_t_i = (t_abs >= ta - 1) & (t_abs < tb)
         tgt = jax.lax.dynamic_slice(wpad, (jnp.maximum(o_r, 0),), (w_b,))
         rb = read[r].astype(jnp.int32)
-        sub = submat[rb * 5 + tgt.astype(jnp.int32)]
-        eq = (rb == tgt.astype(jnp.int32)) & (rb < 4)
+        tgt_i = tgt.astype(jnp.int32)
+        sub = submat[rb * 5 + tgt_i]
+        eq = (rb == tgt_i) & (rb < 4)
+        if use_qv:
+            # mismatch: substitutionQV where the target base matches the
+            # SubstitutionTag, else the per-row prior (IDS Match)
+            sub = jnp.where(eq, sub,
+                            jnp.where(tgt_i == stagv[r], subq[r], spri[r]))
 
         diag_best = jnp.minimum(dM, jnp.minimum(dI, dD))
         if use_hp:
@@ -172,8 +215,13 @@ def _align_one(
                 jnp.where(dI <= diag_best, ST_I, ST_D)).astype(jnp.int32)
         M = jnp.where(in_t, sub + diag_best, INF)
 
-        i_from_m = vM + ins_open
-        i_from_i = vI + ins_ext
+        if use_qv:
+            # insertionQV prices this inserted query base (linear gap)
+            i_from_m = vM + insq[r]
+            i_from_i = vI + insq[r]
+        else:
+            i_from_m = vM + ins_open
+            i_from_i = vI + ins_ext
         I = jnp.where(in_t_i, jnp.minimum(i_from_m, i_from_i), INF)
         i_open = i_from_m <= i_from_i
 
@@ -195,17 +243,34 @@ def _align_one(
             h_open_bit = jnp.zeros((w_b,), bool)
             base = jnp.minimum(M, I)
         w_idx = jnp.arange(w_b, dtype=jnp.float32)
-        g = jnp.where(base < INF * 0.5, base - del_ext * w_idx, INF)
-        run = jax.lax.cummin(g)
-        run_prev = jnp.concatenate([jnp.full((1,), INF), run[:-1]])
-        # D[w] = open + ext*(w - w' - 1) + base[w'] over w' < w
-        D = jnp.where(
-            in_t, del_ext * w_idx + run_prev + (del_open - del_ext), INF)
-        D = jnp.minimum(D, INF)
-        base_prev = jnp.concatenate([jnp.full((1,), INF), base[:-1]])
-        # D <= base_prev+open always holds (D is the min), so the open/extend
-        # bit must test >=: true iff opening at w-1 achieves the min
-        d_open = D >= base_prev + del_open
+        if use_qv:
+            # per-cell deletion cost: deletionQV where the deleted target
+            # base matches the DeletionTag, else the per-row prior (IDS
+            # Deletion); linear gaps, so the prefix-cummin closed form
+            # uses the cost cumsum instead of ext*w
+            cd = jnp.where(tgt_i == dtagv[r], delq[r], dpri[r])
+            S = jnp.cumsum(cd)
+            g = jnp.where(base < INF * 0.5, base - S, INF)
+            run = jax.lax.cummin(g)
+            run_prev = jnp.concatenate([jnp.full((1,), INF), run[:-1]])
+            # D[w] = base[w'] + sum cd[w'+1..w] over w' < w
+            D = jnp.where(in_t, S + run_prev, INF)
+            D = jnp.minimum(D, INF)
+            base_prev = jnp.concatenate([jnp.full((1,), INF), base[:-1]])
+            d_open = D >= base_prev + cd
+        else:
+            g = jnp.where(base < INF * 0.5, base - del_ext * w_idx, INF)
+            run = jax.lax.cummin(g)
+            run_prev = jnp.concatenate([jnp.full((1,), INF), run[:-1]])
+            # D[w] = open + ext*(w - w' - 1) + base[w'] over w' < w
+            D = jnp.where(
+                in_t, del_ext * w_idx + run_prev + (del_open - del_ext), INF)
+            D = jnp.minimum(D, INF)
+            base_prev = jnp.concatenate([jnp.full((1,), INF), base[:-1]])
+            # D <= base_prev+open always holds (D is the min), so the
+            # open/extend bit must test >=: true iff opening at w-1
+            # achieves the min
+            d_open = D >= base_prev + del_open
         M_prev = jnp.concatenate([jnp.full((1,), INF), M[:-1]])
         I_prev = jnp.concatenate([jnp.full((1,), INF), I[:-1]])
         d_from_m = M_prev <= I_prev
@@ -283,6 +348,7 @@ def banded_align(
     reads, windows, offsets, qa, qb, ta, tb, submat,
     ins_open, ins_ext, del_open, del_ext, *, w_b: int = 128,
     use_hp: bool = False, hp_open=0.0, hp_ext=0.0,
+    qv1=None, qv2=None,
 ) -> BandedResult:
     """Batched guided banded alignment.
 
@@ -291,6 +357,8 @@ def banded_align(
     offsets int32 [N, L]   band start per row (window coordinates)
     qa..tb  int32 [N]      global alignment ranges (window coords for t)
     submat  float32 [25]   flattened 5x5 score matrix (integer-valued)
+    qv1/qv2 int32 [N, L]   packed per-row QV costs (QV-steered mode; see
+                           _align_one) — mutually exclusive with use_hp
     """
     # integer-valued costs in f32 (exact below 2^24)
     submat = jnp.asarray(submat, jnp.float32)
@@ -298,7 +366,18 @@ def banded_align(
     ins_ext = jnp.asarray(ins_ext, jnp.float32)
     del_open = jnp.asarray(del_open, jnp.float32)
     del_ext = jnp.asarray(del_ext, jnp.float32)
-    if use_hp:
+    if qv1 is not None:
+        assert not use_hp, "QV-steered DP uses linear gaps (no hp band)"
+        f = jax.vmap(
+            _align_one,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None, None,
+                     None, None, None, 0, 0),
+        )
+        score, tbbits, state, ok = f(
+            reads, windows, offsets, qa, qb, ta, tb,
+            submat, ins_open, ins_ext, del_open, del_ext, w_b,
+            None, None, qv1, qv2)
+    elif use_hp:
         f = jax.vmap(
             _align_one,
             in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None, None,

@@ -93,6 +93,12 @@ CASES = [
 def make_small(d):
     from blasr_tpu.io.fasta import FastaRecord, write_fasta
     from blasr_tpu.sim import random_genome, simulate_reads
+    reads = os.path.join(d, "reads.fa")
+    genome = os.path.join(d, "genome.fa")
+    if os.path.exists(reads) and os.path.exists(genome):
+        # the bwt/fofn/bamin worlds reuse the small world; don't rebuild
+        # the identical fixture (ADVICE r3)
+        return reads, genome, []
     contigs = random_genome(60_000, seed=777, n_contigs=2)
     sims = simulate_reads(contigs, 12, read_len=(250, 900), accuracy=0.87,
                           seed=778)
