@@ -208,6 +208,22 @@ def _revcomp_batch(reads: jnp.ndarray, read_len: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ok, comp[gathered], jnp.int8(4))
 
 
+def _revcomp_qv(qv: jnp.ndarray, read_len: jnp.ndarray,
+                tag_shifts=()) -> jnp.ndarray:
+    """Reverse a packed per-row QV cost track (QV values follow their
+    bases); 3-bit tag fields at ``tag_shifts`` are complemented."""
+    B, L = qv.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    src = read_len[:, None] - 1 - pos
+    ok = src >= 0
+    g = jnp.take_along_axis(qv, jnp.clip(src, 0, L - 1), axis=1)
+    for sh in tag_shifts:
+        tag = (g >> sh) & 7
+        ctag = jnp.where(tag < 4, 3 - tag, tag)
+        g = (g & ~jnp.int32(7 << sh)) | (ctag << sh)
+    return jnp.where(ok, g, 0)
+
+
 def _band_offsets(mq, mt, ws, L, W, w_b,
                   frag_diag=None, frag_valid=None, between_only=False):
     """Band start per query row from the chain guide path (window coords),
@@ -296,7 +312,7 @@ def _band_offsets(mq, mt, ws, L, W, w_b,
                      "p_value_type", "lookback", "global_chain",
                      "aggressive_cut",
                      "advance_exact", "k_sdp", "sdp_occ", "between_only",
-                     "use_hp", "profile_stop", "tb_cap"),
+                     "use_hp", "use_qv", "profile_stop", "tb_cap"),
 )
 def map_batch(
     index: DeviceIndex,
@@ -313,6 +329,15 @@ def map_batch(
     #                            fraction of the read skip SDP guide
     #                            densification (anchors alone suffice,
     #                            BlasrAlignImpl.hpp:780,992-1004)
+    qv1=None,                  # int32 [B, L] packed per-row QV costs
+    #                            (forward orientation; kernels.banded
+    #                            layout) — QV-steered DP when use_qv
+    qv2=None,                  # int32 [B, L] packed per-row priors
+    qv_rescore=None,           # float32 [4] match/mismatch/ins/del used
+    #                            to re-score the QV-chosen path distance-
+    #                            style (PairwiseLocalAlign tail:
+    #                            ComputeAlignmentStats assigns the
+    #                            printed score; scoreType 0)
     *,
     cfg_k: int, L: int, W: int, w_b: int, C: int, A: int, O: int, E: int,
     T: int, max_chain: int, min_match: int, max_anchors_per_pos: int,
@@ -320,7 +345,8 @@ def map_batch(
     p_value_type: int = 3, lookback: int = 0, global_chain: bool = False,
     aggressive_cut: bool = False,
     advance_exact: int = 0, k_sdp: int = 0, sdp_occ: int = 2,
-    between_only: bool = False, use_hp: bool = False, profile_stop: int = 0,
+    between_only: bool = False, use_hp: bool = False, use_qv: bool = False,
+    profile_stop: int = 0,
     tb_cap: int = 0,
     # traceback pair capacity: 0 = T//4 (covers ~2x(indel events)+2 pairs
     # with wide margin; overflowing rows are flagged and the host reruns
@@ -533,7 +559,19 @@ def map_batch(
 
     if profile_stop == 4:
         return _stop(offs, windows, qa, qb, ta, tb)
-    if use_pallas:
+    if use_qv:
+        # QV-steered DP (PairwiseLocalAlign QV branch): per-read packed
+        # cost tracks, reversed (+tag-complemented) for the rc rows;
+        # XLA kernel only
+        qv1_2 = jnp.concatenate(
+            [qv1, _revcomp_qv(qv1, read_len, tag_shifts=(24, 27))], axis=0)
+        qv2_2 = jnp.concatenate([qv2, _revcomp_qv(qv2, read_len)], axis=0)
+        res = banded_align(
+            reads_sel, windows, offs, qa, qb, ta, tb, submat,
+            gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3], w_b=w_b,
+            qv1=jnp.take(qv1_2, read_row, axis=0),
+            qv2=jnp.take(qv2_2, read_row, axis=0))
+    elif use_pallas:
         assert not use_hp, "hp-insertion band requires the XLA kernel"
         from blasr_tpu.kernels.pallas_banded import pallas_banded_align
         res = pallas_banded_align(
@@ -611,6 +649,18 @@ def map_batch(
     # device->host array is a separate round trip (expensive on remote
     # attachments), so one int32 block + the uint8 ops block beat ~15
     # small transfers
+    if use_qv:
+        # the QV DP chose the path; the reported score is the distance-
+        # matrix rescore of that path (ComputeAlignmentStats with
+        # distScoreFn2, BlasrAlignImpl.hpp:1304-1306; scoreType 0).
+        # Untraced rows keep the QV score (they are never reported).
+        score_dist = (qv_rescore[0] * tbk.n_match.astype(jnp.float32)
+                      + qv_rescore[1] * tbk.n_mismatch.astype(jnp.float32)
+                      + qv_rescore[2] * tbk.n_ins.astype(jnp.float32)
+                      + qv_rescore[3] * tbk.n_del.astype(jnp.float32))
+        score_out = jnp.where(keep_tb, back(score_dist), res.score)
+    else:
+        score_out = res.score
     ints = jnp.stack([
         scatter(valid_sel.astype(jnp.int32)),
         scatter(qa),
@@ -622,7 +672,7 @@ def map_batch(
         scatter(back(tbk.n_ins)),
         scatter(back(tbk.n_del)),
         dp_slot,
-        scatter(res.score, 1e30).astype(jnp.int32),
+        scatter(score_out, 1e30).astype(jnp.int32),
         cands.score.reshape(n2, C).astype(jnp.int32),
         cands.n_anchors.reshape(n2, C),
         jnp.broadcast_to(anchors.n_total[:, None], (n2, C)),
@@ -889,6 +939,7 @@ class Mapper:
         self.dev = dev if dev is not None else DeviceIndex.from_host(gi)
         m = np.asarray(self.params.score_matrix, dtype=np.float32).reshape(25)
         self.submat = jnp.asarray(m)
+        self.submat_np = m
         # the Pallas fast path assumes a two-valued matrix (match on the
         # ACGT diagonal, one mismatch value everywhere else) and band 128;
         # general --scoreMatrix inputs use the XLA kernel
@@ -898,11 +949,23 @@ class Mapper:
             and np.all(m5[~np.eye(5, dtype=bool)] == m5[0, 1])
             and m5[4, 4] == m5[0, 1])
         p = self.params
+        # QV-steered DP (--useQuality): the IDS/QV score function runs
+        # inside the banded kernel, so QVs change the traceback path
+        # (PairwiseLocalAlign QV branch, BlasrAlignImpl.hpp:1276-1298);
+        # reads without QVs in the same run get flat per-row costs that
+        # reproduce the non-affine kernel exactly
+        self.use_qv = not p.ignore_qualities
+        # distance-matrix rescore of the QV-chosen path: match/mismatch
+        # from the matrix, indels at params.indel (distScoreFn2,
+        # BlasrAlignImpl.hpp:1245-1246,1304-1306)
+        self.qv_rescore = jnp.asarray(
+            [m[0], m[1], p.indel, p.indel], jnp.float32)
         # the affine path carries the homopolymer-insertion band, which
         # lives in the XLA kernel only
         self.use_pallas = (jax.default_backend() != "cpu"
                            and two_valued
                            and not p.affine_align
+                           and not self.use_qv
                            and self.cfg.band_width == 128)
         if p.affine_align:
             gaps = [p.affine_open + p.insertion, max(p.affine_extend, 1),
@@ -963,8 +1026,97 @@ class Mapper:
             k_sdp=min(p.sdp_tuple_size, 16),
             sdp_occ=1 if p.fast_sdp else 2,
             between_only=p.refine_between_anchors_only,
-            use_hp=p.affine_align, tb_cap=tb_cap)
+            use_hp=p.affine_align and not self.use_qv,
+            use_qv=self.use_qv, tb_cap=tb_cap)
         return pos, kw
+
+    _TAG_CODE = None
+
+    @classmethod
+    def _tag_codes(cls):
+        if cls._TAG_CODE is None:
+            t = np.full(256, 7, np.int32)  # 7 = matches no target base
+            for i, c in enumerate("ACGT"):
+                t[ord(c)] = i
+            cls._TAG_CODE = t
+        return cls._TAG_CODE
+
+    def pack_qv_rows(self, group, batch: int, L: int):
+        """Per-read packed QV cost tracks (kernels.banded layout).
+
+        Per-row fallbacks make every flavor exact: full IDS tracks use
+        insertion/deletion/substitution QVs with tag-gated priors;
+        plain-QV reads (FASTQ) price mismatches at the base's quality
+        with flat indels (QualityValueScoreFunction, scoreFn.ins/del =
+        params.indel); reads with no QVs at all reproduce the flat
+        non-affine costs bit-for-bit."""
+        p = self.params
+        q1 = np.zeros((batch, L), np.int32)
+        q2 = np.zeros((batch, L), np.int32)
+        mm_default = int(np.clip(self.submat_np[1], 0, 255))
+        tagc = self._tag_codes()
+        for i, r in enumerate(group):
+            n = min(len(r.seq), L)
+            if n == 0:
+                continue
+            t = getattr(r, "tracks", None) or {}
+            iq = t.get("InsertionQV")
+            if iq is not None and len(np.unique(iq[:n])) > 1:
+                # IDS flavor (reference gate: insertionQV present and
+                # meaningful, BlasrMiscsImpl.hpp:50-77)
+                insq = np.clip(iq[:n], 0, 255).astype(np.int32)
+                dq = t.get("DeletionQV")
+                if dq is not None:
+                    delq = np.clip(dq[:n], 0, 255).astype(np.int32)
+                    dt = t.get("DeletionTag")
+                    if dt is not None:
+                        dtag = tagc[np.asarray(dt[:n], np.uint8)]
+                        dpri = np.full(n, p.global_deletion_prior,
+                                       np.int32)
+                    else:  # no tag: always the deletionQV
+                        dtag = np.full(n, 7, np.int32)
+                        dpri = delq
+                else:
+                    delq = np.zeros(n, np.int32)
+                    dtag = np.full(n, 7, np.int32)
+                    dpri = np.full(n, p.deletion, np.int32)
+                sq = t.get("SubstitutionQV")
+                if sq is not None:
+                    subq = np.clip(sq[:n], 0, 255).astype(np.int32)
+                    st = t.get("SubstitutionTag")
+                    if st is not None:
+                        stag = tagc[np.asarray(st[:n], np.uint8)]
+                        spri = np.full(n, p.substitution_prior, np.int32)
+                    else:
+                        stag = np.full(n, 7, np.int32)
+                        spri = subq
+                else:
+                    subq = np.zeros(n, np.int32)
+                    stag = np.full(n, 7, np.int32)
+                    spri = np.full(n, mm_default, np.int32)
+            elif r.qual is not None and len(r.qual) >= n \
+                    and len(np.unique(r.qual[:n])) > 1:
+                # plain-QV flavor: mismatch = base quality, flat indels
+                insq = np.full(n, p.indel, np.int32)
+                delq = np.zeros(n, np.int32)
+                dtag = np.full(n, 7, np.int32)
+                dpri = np.full(n, p.indel, np.int32)
+                subq = np.zeros(n, np.int32)
+                stag = np.full(n, 7, np.int32)
+                spri = np.clip(r.qual[:n], 0, 255).astype(np.int32)
+            else:
+                # no QVs: flat costs identical to the non-affine kernel
+                insq = np.full(n, p.insertion, np.int32)
+                delq = np.zeros(n, np.int32)
+                dtag = np.full(n, 7, np.int32)
+                dpri = np.full(n, p.deletion, np.int32)
+                subq = np.zeros(n, np.int32)
+                stag = np.full(n, 7, np.int32)
+                spri = np.full(n, mm_default, np.int32)
+            q1[i, :n] = (insq | (delq << 8) | (subq << 16)
+                         | (dtag << 24) | (stag << 27))
+            q2[i, :n] = dpri | (spri << 8)
+        return q1, q2
 
     def warmup(self, buckets: Optional[Sequence[int]] = None,
                n_threads: int = 0) -> None:
@@ -1001,7 +1153,12 @@ class Mapper:
             arr = jnp.zeros((batch, L), dtype=jnp.int8)
             lens = jnp.full((batch,), L, dtype=jnp.int32)
             pos, kw = self._batch_call_args(L)
-            map_batch.lower(self.dev, arr, lens, *pos, **kw).compile()
+            qvkw = {}
+            if self.use_qv:
+                z = jnp.zeros((batch, L), dtype=jnp.int32)
+                qvkw = dict(qv1=z, qv2=z, qv_rescore=self.qv_rescore)
+            map_batch.lower(self.dev, arr, lens, *pos, **qvkw,
+                            **kw).compile()
             _WARMED_SHAPES.add(_key(L))
 
         with ThreadPoolExecutor(max_workers=n_threads) as ex:
@@ -1014,8 +1171,14 @@ class Mapper:
         W = cfg.window_len(L)
         T = L + W
         out: List[List[Alignment]] = []
-        def dispatch(arr, lens, tb_cap=0):
+        def dispatch(arr, lens, tb_cap=0, qv=None):
             pos, kw = self._batch_call_args(L, tb_cap)
+            if self.use_qv:
+                q1, q2 = qv
+                return map_batch(
+                    self.dev, jnp.asarray(arr), jnp.asarray(lens), *pos,
+                    qv1=jnp.asarray(q1), qv2=jnp.asarray(q2),
+                    qv_rescore=self.qv_rescore, **kw)
             return map_batch(
                 self.dev, jnp.asarray(arr), jnp.asarray(lens), *pos, **kw)
 
@@ -1034,10 +1197,14 @@ class Mapper:
                 n = min(len(r.seq), L)
                 arr[i, :n] = r.seq[:n]
                 lens[i] = n
+            qv = None
+            if self.use_qv:
+                q1, q2 = self.pack_qv_rows(group, batch, L)
+                qv = (jax.device_put(q1), jax.device_put(q2))
             return (group, arr, lens,
-                    jax.device_put(arr), jax.device_put(lens))
+                    jax.device_put(arr), jax.device_put(lens), qv)
 
-        def collect(group, arr, lens, res):
+        def collect(group, arr, lens, qv, res):
             with self.metrics.clock("collectAlignments"):
                 res = unpack_batch(res)
                 # dense rerun only when an overflowed traceback can reach
@@ -1047,7 +1214,8 @@ class Mapper:
                 # for them doubled device time)
                 if (res.overflow & res.valid & (res.dp_slot >= 0)).any():
                     with self.metrics.clock("mapToGenome"):
-                        res = unpack_batch(dispatch(arr, lens, tb_cap=T))
+                        res = unpack_batch(
+                            dispatch(arr, lens, tb_cap=T, qv=qv))
                 out.extend(self._collect_batch(res, group, lens, batch))
             self.metrics.add("numReads", len(group))
             self.metrics.add("totalAnchors", int(res.n_anchors.sum()))
@@ -1063,10 +1231,10 @@ class Mapper:
         for i in range(len(bases)):
             if i + LOOKAHEAD < len(bases):
                 staged[i + LOOKAHEAD] = stage(bases[i + LOOKAHEAD])
-            group, arr, lens, arr_d, lens_d = staged.pop(i)
+            group, arr, lens, arr_d, lens_d, qv = staged.pop(i)
             with self.metrics.clock("mapToGenome"):
-                res = dispatch(arr_d, lens_d)
-            pending.append((group, arr, lens, res))
+                res = dispatch(arr_d, lens_d, qv=qv)
+            pending.append((group, arr, lens, qv, res))
             if len(pending) > LOOKAHEAD:
                 collect(*pending.pop(0))
         for item in pending:

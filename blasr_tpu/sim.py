@@ -32,6 +32,97 @@ def random_genome(length: int, seed: int = 0, n_contigs: int = 1,
 
 
 @dataclass
+class GenomeFeature:
+    """A planted repeat/structure annotation (structured_genome)."""
+
+    kind: str    # "tandem" | "segdup" | "nrun"
+    start: int   # [start, end) on the (single) contig
+    end: int
+    partner_start: int = -1   # segdup: start of the duplicated source
+    partner_end: int = -1
+    period: int = 0           # tandem: monomer length
+    identity: float = 1.0     # per-copy identity vs the monomer/source
+
+
+def _mutate_frac(seq: np.ndarray, rng: np.random.Generator,
+                 divergence: float) -> np.ndarray:
+    """Substitution-only divergence (repeat copies drift mostly by subs)."""
+    out = seq.copy()
+    m = rng.random(len(seq)) < divergence
+    out[m] = (out[m] + rng.integers(1, 4, int(m.sum()))) % 4
+    return out
+
+
+def structured_genome(length: int, seed: int = 0, *,
+                      n_tandem: int = 0, tandem_period: int = 171,
+                      tandem_copies: Tuple[int, int] = (60, 300),
+                      tandem_divergence: float = 0.015,
+                      n_segdup: int = 0,
+                      segdup_len: Tuple[int, int] = (5_000, 50_000),
+                      segdup_identity: Tuple[float, float] = (0.95, 0.995),
+                      n_nrun: int = 0,
+                      nrun_len: Tuple[int, int] = (100, 5_000),
+                      name: str = "chrS",
+                      ) -> Tuple[List[FastaRecord], List[GenomeFeature]]:
+    """Random genome with planted repeat structure (the validation the
+    pure-random soak cannot provide: alpha-satellite-like tandem arrays,
+    segmental duplications at 95-99.5% identity, N runs — the
+    ctest/bug25328.t repetitive-genome test class).
+
+    Returns a single contig plus the planted feature annotations."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 4, length, dtype=np.int8)
+    features: List[GenomeFeature] = []
+    taken: List[Tuple[int, int]] = []
+
+    def claim(size: int, margin: int = 2_000) -> int:
+        for _ in range(200):
+            s = int(rng.integers(margin, max(length - size - margin, margin + 1)))
+            if all(e0 + margin < s or s + size + margin < s0
+                   for s0, e0 in taken):
+                taken.append((s, s + size))
+                return s
+        return -1
+
+    for _ in range(n_tandem):
+        copies = int(rng.integers(*tandem_copies))
+        size = copies * tandem_period
+        s = claim(size)
+        if s < 0:
+            continue
+        monomer = rng.integers(0, 4, tandem_period, dtype=np.int8)
+        for c in range(copies):
+            g[s + c * tandem_period:s + (c + 1) * tandem_period] = \
+                _mutate_frac(monomer, rng, tandem_divergence)
+        features.append(GenomeFeature(
+            "tandem", s, s + size, period=tandem_period,
+            identity=1.0 - tandem_divergence))
+
+    for _ in range(n_segdup):
+        size = int(rng.integers(*segdup_len))
+        src = claim(size)
+        dst = claim(size)
+        if src < 0 or dst < 0:
+            continue
+        ident = float(rng.uniform(*segdup_identity))
+        g[dst:dst + size] = _mutate_frac(g[src:src + size], rng,
+                                         1.0 - ident)
+        features.append(GenomeFeature(
+            "segdup", dst, dst + size, partner_start=src,
+            partner_end=src + size, identity=ident))
+
+    for _ in range(n_nrun):
+        size = int(rng.integers(*nrun_len))
+        s = claim(size)
+        if s < 0:
+            continue
+        g[s:s + size] = 4
+        features.append(GenomeFeature("nrun", s, s + size))
+
+    return [FastaRecord(name, g)], features
+
+
+@dataclass
 class SimRead:
     rec: FastaRecord
     contig: int

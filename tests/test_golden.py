@@ -61,6 +61,11 @@ CASES = [
     #    --useQuality turns on QV-aware rescoring; SAM emits QUAL --
     ("m4.fastq", "fastq", ["-m", "4", "--useQuality"]),
     ("sam.fastq", "fastq", ["--sam", "--clipping", "soft", "--useQuality"]),
+    # -- QV-steered DP (PairwiseLocalAlign QV branch): IDS tracks move an
+    #    ambiguous homopolymer insertion, so the CIGAR (not just the
+    #    score) differs between these two runs (test_qv_changes_cigar) --
+    ("sam.qv", "qvsteer", ["--sam", "--clipping", "soft", "--useQuality"]),
+    ("sam.qv.noqv", "qvsteer", ["--sam", "--clipping", "soft"]),
     # -- bax.h5 polymerase reads: region-table subread splitting
     #    (ctest/noSplitSubreads.t + holeNumbers.t roles) --
     ("m4.bax", "bax", ["-m", "4"]),
@@ -369,11 +374,56 @@ def make_unal(d):
             os.path.join(d, "genome_un.fa"), [])
 
 
+def make_qvsteer(d):
+    """bax.h5 with full IDS tracks and a planted 8-T homopolymer: each
+    read carries one extra T whose placement inside the run is ambiguous
+    at flat costs; a low InsertionQV at one run column steers it there
+    when --useQuality is on (KBandAlign + IDSScoreFunction,
+    BlasrAlignImpl.hpp:1276-1298)."""
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.io.hdf import REGION_TYPES, ZmwRead, write_bax
+    from blasr_tpu.sim import random_genome
+    ins_t = REGION_TYPES.index("Insert")
+    hq_t = REGION_TYPES.index("HQRegion")
+    contigs = random_genome(30_000, seed=9911)
+    g = contigs[0].seq
+    g[4999] = 0
+    g[5000:5008] = 3
+    g[5008] = 1
+    zmws, regions = [], []
+    for k, hole in enumerate((5, 9)):
+        start = 4800 + 40 * k
+        seg = np.asarray(g[start:start + 400])
+        run0 = 5000 - start
+        read = np.concatenate(
+            [seg[:run0 + 4], [3], seg[run0 + 4:]]).astype(np.int8)
+        n = len(read)
+        insq = np.full(n, 18, np.uint8)
+        # cheap insertion at opposite ends of the run per read
+        insq[run0 + 1 + 7 * (k % 2)] = 2
+        tracks = {
+            "QualityValue": np.full(n, 30, np.uint8),
+            "InsertionQV": insq,
+            "DeletionQV": np.full(n, 13, np.uint8),
+            "SubstitutionQV": np.full(n, 21, np.uint8),
+            "DeletionTag": np.full(n, ord("N"), np.uint8),
+            "SubstitutionTag": np.full(n, ord("N"), np.uint8),
+        }
+        zmws.append(ZmwRead(hole, read, tracks))
+        regions.append([hole, ins_t, 0, n, -1])
+        regions.append([hole, hq_t, 0, n, 900])
+    path = os.path.join(d, "m_qv.bax.h5")
+    write_bax(path, "m_qv", zmws, np.asarray(regions, np.int32))
+    write_fasta(os.path.join(d, "genome_qv.fa"), contigs)
+    return path, os.path.join(d, "genome_qv.fa"), []
+
+
 WORLDS = {"small": make_small, "small_bwt": make_small_bwt,
           "big": make_big, "zmw": make_zmw, "ccs": make_ccs,
           "fastq": make_fastq, "bax": make_bax,
           "multipart": make_multipart, "dataset": make_dataset,
-          "fofn": make_fofn, "bamin": make_bamin, "unal": make_unal}
+          "fofn": make_fofn, "bamin": make_bamin, "unal": make_unal,
+          "qvsteer": make_qvsteer}
 
 
 def run_case(d, name, world, flags, world_cache):
@@ -411,6 +461,31 @@ def test_golden(world_dir, name, world, flags):
     assert got == want, f"output for {name} differs from {golden}"
 
 
+def test_qv_changes_cigar():
+    """QV-steered DP contract: with --useQuality the CIGAR differs (the
+    planted low-InsertionQV column moves the homopolymer insertion)
+    while the mapping position stays identical."""
+    a = os.path.join(GOLDEN_DIR, "golden.sam.qv")
+    b = os.path.join(GOLDEN_DIR, "golden.sam.qv.noqv")
+    if not (os.path.exists(a) and os.path.exists(b)):
+        pytest.skip("goldens missing")
+
+    def cigars(path):
+        out = {}
+        for line in open(path):
+            if line.startswith("@"):
+                continue
+            f = line.split("\t")
+            out[f[0]] = (f[3], f[5])
+        return out
+
+    ca, cb = cigars(a), cigars(b)
+    assert ca and set(ca) == set(cb)
+    assert all(ca[k][0] == cb[k][0] for k in ca), "positions moved"
+    assert any(ca[k][1] != cb[k][1] for k in ca), \
+        "QV steering changed no CIGAR"
+
+
 def test_bamin_equals_fasta():
     """ctest/bamIn.t contract: the same reads via FASTA and via unaligned
     BAM produce identical alignments."""
@@ -421,7 +496,7 @@ def test_bamin_equals_fasta():
     assert open(a).read() == open(b).read()
 
 
-def regen(only_missing=False):
+def regen(only_missing=False, only=None):
     import tempfile
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     with tempfile.TemporaryDirectory() as d:
@@ -429,6 +504,8 @@ def regen(only_missing=False):
         for name, world, flags in CASES:
             path = os.path.join(GOLDEN_DIR, f"golden.{name}")
             if only_missing and os.path.exists(path):
+                continue
+            if only and name not in only:
                 continue
             text = run_case(d, name, world, flags, cache)
             with open(path, "w") as f:
@@ -440,4 +517,5 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] in ("regen", "regen-missing"):
         import jax
         jax.config.update("jax_platforms", "cpu")
-        regen(only_missing=sys.argv[1] == "regen-missing")
+        regen(only_missing=sys.argv[1] == "regen-missing",
+              only=set(sys.argv[2:]) or None)

@@ -149,3 +149,66 @@ def test_max_seed_depth_probes_occurrences():
     # a unique-region read sees ~1
     depth_u = m._max_seed_depth(FastaRecord("r2", g[-2000:-1200]))
     assert depth_u <= 3, depth_u
+
+
+def test_structured_genome_placement_and_mapqv_calibration():
+    """Structured-repeat soak regression (tools/soak_genome.py
+    --structured, small): reads from a planted tandem array and a 97%%
+    segdup pair must either place at their true copy or report low
+    mapQV — no wrong placement may carry mapQV >= 30 (calibration:
+    P(wrong | mapQV >= 30) must be ~0; the reference's repetitive-genome
+    contract, ctest/bug25328.t class)."""
+    from blasr_tpu.pipeline.select import store_map_qvs
+    from blasr_tpu.sim import mutate, structured_genome
+
+    contigs, features = structured_genome(
+        400_000, seed=11, n_tandem=1, tandem_copies=(90, 110),
+        n_segdup=1, segdup_len=(18_000, 22_000),
+        segdup_identity=(0.97, 0.97), n_nrun=1, nrun_len=(400, 600))
+    kinds = {f.kind for f in features}
+    assert {"tandem", "segdup", "nrun"} <= kinds
+    g = contigs[0].seq
+    rng = np.random.default_rng(12)
+    reads, truth = [], []
+
+    def add_read(ts, ln):
+        sub = mutate(g[ts:ts + ln], rng, 0.02, 0.05, 0.03)
+        reads.append(FastaRecord(f"s/{len(reads)}/0_{len(sub)}", sub))
+        truth.append(ts)
+
+    for f in features:
+        if f.kind == "nrun":
+            continue
+        for j in range(4):
+            ln = int(rng.integers(500, 800))
+            add_read(int(rng.integers(f.start, max(f.end - ln, f.start + 1))),
+                     ln)
+    for j in range(4):  # unique-region reads
+        while True:
+            ts = int(rng.integers(0, len(g) - 900))
+            if all(not (ts < f.end and ts + 900 > f.start)
+                   for f in features):
+                break
+        add_read(ts, int(rng.integers(500, 800)))
+
+    gi = build_genome_index(contigs, k=12)
+    p = MappingParams(forward_only=True).make_sane()
+    m = Mapper(gi, p)
+    res = m.map_reads(reads)
+    n_correct = hi_wrong = 0
+    for alns, t in zip(res, truth):
+        assert alns, f"structured-world read at {t} unmapped"
+        store_map_qvs(alns, p, gi)
+        best = min(alns, key=lambda a: a.score)
+        ok = abs(best.tstart - best.qstart - t) < 150
+        if ok:
+            n_correct += 1
+        elif best.map_qv >= 30:
+            hi_wrong += 1
+    assert hi_wrong == 0, (
+        f"{hi_wrong} wrong placements with mapQV >= 30 (miscalibrated)")
+    # unique + most repeat reads place correctly; a tandem read landing
+    # on another unit with LOW mapQV is acceptable (the calibration
+    # assert above is the contract)
+    assert n_correct >= int(0.7 * len(reads)), \
+        f"{n_correct}/{len(reads)} placed"

@@ -30,6 +30,11 @@ def main() -> int:
     ap.add_argument("--read-len", type=int, nargs=2, default=(500, 1980))
     ap.add_argument("--accuracy", type=float, default=0.85)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--structured", action="store_true",
+                    help="plant tandem arrays (171 bp period), segdup "
+                    "pairs (95-99.5%% identity) and N runs; sample half "
+                    "the reads from the planted features and report "
+                    "per-class placement + mapQV calibration")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +49,21 @@ def main() -> int:
 
     n = int(args.mbp * 1e6)
     t0 = time.time()
-    contigs = random_genome(n, seed=args.seed)
+    features = []
+    if args.structured:
+        from blasr_tpu.sim import structured_genome
+        mb = max(args.mbp, 1.0)
+        contigs, features = structured_genome(
+            n, seed=args.seed,
+            n_tandem=max(3, int(mb // 20)),
+            n_segdup=max(2, int(mb // 40)),
+            n_nrun=max(2, int(mb // 20)))
+        kinds = {}
+        for f in features:
+            kinds[f.kind] = kinds.get(f.kind, 0) + 1
+        print(f"# structured genome: {kinds}", file=sys.stderr)
+    else:
+        contigs = random_genome(n, seed=args.seed)
     print(f"# genome {args.mbp:.0f} Mbp in {time.time()-t0:.0f}s",
           file=sys.stderr)
     t0 = time.time()
@@ -60,7 +79,41 @@ def main() -> int:
     t0 = time.time()
     sims = simulate_reads(contigs, args.reads, read_len=tuple(args.read_len),
                           accuracy=args.accuracy, seed=args.seed + 1)
+    if args.structured and features:
+        # re-aim half the reads at the planted features (uniform sampling
+        # would barely touch them at genome scale)
+        from blasr_tpu.io.fasta import FastaRecord, revcomp
+        from blasr_tpu.sim import SimRead, mutate
+        rng = np.random.default_rng(args.seed + 2)
+        g = contigs[0].seq
+        err = 1.0 - args.accuracy
+        ins, dele, sub = 0.5 * err, 0.3 * err, 0.2 * err
+        targets = [f for f in features if f.kind != "nrun"]
+        for i in range(0, args.reads, 2):
+            f = targets[int(rng.integers(len(targets)))]
+            rl = int(rng.integers(*args.read_len))
+            lo = max(0, f.start - rl // 2)
+            hi = min(len(g) - rl, f.end - rl // 2)
+            if hi <= lo:
+                continue
+            ts = int(rng.integers(lo, hi))
+            frag = g[ts:ts + rl]
+            strand = int(rng.integers(0, 2))
+            if strand:
+                frag = revcomp(frag)
+            seq = mutate(frag, rng, sub, ins, dele)
+            if not len(seq):
+                continue
+            sims[i] = SimRead(
+                FastaRecord(f"sim/{i}/0_{len(seq)}", seq), 0, ts, ts + rl,
+                strand)
     print(f"# {args.reads} reads in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    def read_class(sim):
+        for f in features:
+            if sim.tstart < f.end and sim.tend > f.start:
+                return f.kind
+        return "unique"
 
     params = MappingParams(min_match_length=args.k).make_sane()
     cfg = ShapeConfig(buckets=(2048,), batch_size=32, max_anchors=512)
@@ -78,10 +131,14 @@ def main() -> int:
     results = mapper.map_reads(recs)
     dt = time.time() - t0
     n_mapped = n_correct = 0
+    cls_total, cls_correct = {}, {}
+    hi_qv = hi_qv_wrong = 0  # mapQV calibration: P(wrong | mapQV >= 30)
     for ri, (sim, alns) in enumerate(zip(sims, results)):
+        cls = read_class(sim)
+        cls_total[cls] = cls_total.get(cls, 0) + 1
         if not alns:
             print(f"# MISS read {ri}: unmapped (truth contig {sim.contig} "
-                  f"strand {sim.strand} t {sim.tstart}, "
+                  f"strand {sim.strand} t {sim.tstart}, class {cls}, "
                   f"len {len(sim.rec.seq)})", file=sys.stderr)
             continue
         n_mapped += 1
@@ -91,9 +148,15 @@ def main() -> int:
         # only under --extend), which shifts tstart by ~qstart
         pred = best.tstart - (best.qstart if best.strand == 0
                               else best.qlen - best.qend)
-        if (best.tindex == sim.contig and best.strand == sim.strand
-                and abs(pred - sim.tstart) < 100):
+        ok = (best.tindex == sim.contig and best.strand == sim.strand
+              and abs(pred - sim.tstart) < 100)
+        if best.map_qv >= 30:
+            hi_qv += 1
+            if not ok:
+                hi_qv_wrong += 1
+        if ok:
             n_correct += 1
+            cls_correct[cls] = cls_correct.get(cls, 0) + 1
         else:
             def _pred(a):
                 return a.tstart - (a.qstart if a.strand == 0
@@ -112,11 +175,23 @@ def main() -> int:
     print(f"# mapped {n_mapped}/{args.reads}, "
           f"correct {n_correct} ({100.0*n_correct/args.reads:.2f}%), "
           f"{args.reads/dt:.0f} reads/s", file=sys.stderr)
+    per_class = {}
+    for cls in sorted(cls_total):
+        per_class[cls] = (cls_correct.get(cls, 0), cls_total[cls])
+        print(f"# class {cls}: {cls_correct.get(cls, 0)}/{cls_total[cls]} "
+              "correct", file=sys.stderr)
+    if args.structured:
+        rate = hi_qv_wrong / hi_qv if hi_qv else 0.0
+        print(f"# mapQV calibration: {hi_qv_wrong}/{hi_qv} wrong at "
+              f"mapQV>=30 (P = {rate:.2e})", file=sys.stderr)
     import json
     print(json.dumps({
         "mbp": args.mbp, "k": args.k, "rescue": bool(rescue),
+        "structured": bool(args.structured),
         "reads": args.reads, "mapped": n_mapped, "correct": n_correct,
         "pct_correct": round(100.0 * n_correct / args.reads, 2),
+        "per_class": {k: list(v) for k, v in per_class.items()},
+        "hi_mapqv": hi_qv, "hi_mapqv_wrong": hi_qv_wrong,
         "reads_per_sec": round(args.reads / dt, 1)}))
     return 0
 
