@@ -206,3 +206,110 @@ def log10_prob_alignment(cigar, query, target, qa, ta,
     contrib = np.where(opc == OP_M, np.where(eq, lm, lx),
                        np.where(opc == OP_I, li, ld))
     return float(contrib.sum())
+
+
+def full_qv_align(query, target, tracks=None, *, match_score: float = -5.0,
+                  ins_flat: float = 5.0, del_flat: float = 5.0,
+                  substitution_prior: int = 20,
+                  global_deletion_prior: int = 13,
+                  del_tag=None, sub_tag=None):
+    """Full (unbanded) QV-steered global alignment — the FullQVAlign role
+    (include map BlasrHeaders.h:45): optimize the IDS cost objective over
+    the whole matrix and return ``(cigar, qv_score)``.
+
+    Costs match the banded kernel's QV mode (kernels/banded.py):
+    insertionQV per inserted base, deletionQV where the deleted target
+    base equals the DeletionTag (else the global deletion prior),
+    substitutionQV where the target base equals the SubstitutionTag
+    (else the substitution prior); matches score ``match_score``.
+    Host-side tool (O(nm) NumPy, row-vectorized) — the hot path runs the
+    banded kernel; this exists for exhaustive small-problem alignment
+    and as an oracle."""
+    q = np.asarray(query, np.int64)
+    t = np.asarray(target, np.int64)
+    n, m = len(q), len(t)
+    tr = tracks or QVTracks()
+    iq = tr.get("ins_qv")
+    dq = tr.get("del_qv")
+    sq = tr.get("sub_qv")
+    insq = (np.minimum(np.asarray(iq, np.float64)[:n], 255.0)
+            if iq is not None else np.full(n, ins_flat))
+    delq = (np.minimum(np.asarray(dq, np.float64)[:n], 255.0)
+            if dq is not None else np.full(n, del_flat))
+    subq = (np.minimum(np.asarray(sq, np.float64)[:n], 255.0)
+            if sq is not None else np.full(n, substitution_prior))
+    dtag = (np.asarray(del_tag, np.int64)[:n] if del_tag is not None
+            else np.full(n, 7))
+    stag = (np.asarray(sub_tag, np.int64)[:n] if sub_tag is not None
+            else np.full(n, 7))
+    dpri = (np.full(n, global_deletion_prior) if dq is not None
+            else np.full(n, del_flat))
+    spri = (np.full(n, substitution_prior) if sq is not None
+            else np.full(n, substitution_prior))
+
+    INF = 1e18
+    M = np.full((n + 1, m + 1), INF)
+    I = np.full((n + 1, m + 1), INF)
+    D = np.full((n + 1, m + 1), INF)
+    M[0, 0] = 0.0
+    cd0 = np.where(t == dtag[0], delq[0], dpri[0]) if n else \
+        np.full(m, del_flat)
+    D[0, 1:] = np.cumsum(cd0)
+    for i in range(1, n + 1):
+        I[i, 0] = min(M[i - 1, 0], I[i - 1, 0]) + insq[i - 1]
+        eq = t == q[i - 1]
+        csub = np.where(eq & (q[i - 1] < 4), match_score,
+                        np.where(t == stag[i - 1], subq[i - 1],
+                                 spri[i - 1]))
+        diag = np.minimum(np.minimum(M[i - 1, :m], I[i - 1, :m]),
+                          D[i - 1, :m])
+        M[i, 1:] = csub + diag
+        I[i, 1:] = np.minimum(M[i - 1, 1:], I[i - 1, 1:]) + insq[i - 1]
+        cd = np.where(t == dtag[i - 1], delq[i - 1], dpri[i - 1])
+        S = np.cumsum(cd)
+        base = np.minimum(M[i, :], I[i, :])
+        g = base[:m] - np.concatenate([[0.0], S[:-1]])
+        D[i, 1:] = S + np.minimum.accumulate(g)
+
+    # traceback (recompute the comparisons; exact float equality holds —
+    # integer-valued costs)
+    ops = []
+    i, j = n, m
+    st = int(np.argmin([M[n, m], I[n, m], D[n, m]]))
+    while i > 0 or j > 0:
+        if st == 2 and j > 0:  # D
+            r = max(i - 1, 0)
+            cd = delq[r] if t[j - 1] == dtag[r] else dpri[r]
+            ops.append(("D", 1))
+            prev = D[i, j] - cd
+            cand = [M[i, j - 1], I[i, j - 1], D[i, j - 1]]
+            st = int(np.argmin(np.abs(np.asarray(cand) - prev)))
+            j -= 1
+        elif st == 1 and i > 0:  # I
+            ops.append(("I", 1))
+            prev = I[i, j] - insq[i - 1]
+            st = 0 if abs(M[i - 1, j] - prev) <= abs(I[i - 1, j] - prev) \
+                else 1
+            i -= 1
+        elif i > 0 and j > 0:  # M
+            eqc = (t[j - 1] == q[i - 1]) and q[i - 1] < 4
+            ops.append(("=" if eqc else "X", 1))
+            csub = match_score if eqc else (
+                subq[i - 1] if t[j - 1] == stag[i - 1] else spri[i - 1])
+            prev = M[i, j] - csub
+            cand = [M[i - 1, j - 1], I[i - 1, j - 1], D[i - 1, j - 1]]
+            st = int(np.argmin(np.abs(np.asarray(cand) - prev)))
+            i -= 1
+            j -= 1
+        else:
+            st = 1 if i > 0 else 2
+            continue
+    ops.reverse()
+    # merge runs; '='/'X' stay distinct so callers see mismatch columns
+    cigar = []
+    for op, c in ops:
+        if cigar and cigar[-1][0] == op:
+            cigar[-1] = (op, cigar[-1][1] + c)
+        else:
+            cigar.append((op, c))
+    return cigar, float(min(M[n, m], I[n, m], D[n, m]))

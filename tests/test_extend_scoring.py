@@ -137,3 +137,68 @@ def test_bam_qv_tracks_thread_to_rescoring(tmp_path):
                                       QVTracks(qual=reads[0].qual),
                                       substitution_prior=20)
     assert lp_prior20 == lp_ids  # prior 20 == track value 20
+
+
+def test_full_qv_align_matches_banded_oracle():
+    """full_qv_align (FullQVAlign role) optimizes the same IDS objective
+    as the QV-steered banded kernel's oracle and returns a path whose
+    cost replays to the score."""
+    import numpy as np
+
+    from blasr_tpu.params import default_score_matrix
+    from blasr_tpu.pipeline.scoring import QVTracks, full_qv_align
+    from tests.test_qv_dp import oracle_qv
+
+    rng = np.random.default_rng(17)
+    submat = np.asarray(default_score_matrix(), np.float32).reshape(25)
+    for _ in range(4):
+        m = int(rng.integers(25, 45))
+        tgt = rng.integers(0, 4, m, dtype=np.int8)
+        read = []
+        for b in tgt:
+            u = rng.random()
+            if u < 0.05:
+                read.append(int(rng.integers(0, 4)))
+            elif u < 0.09:
+                read.append(int(b))
+                read.append(int(rng.integers(0, 4)))
+            elif u < 0.13:
+                pass
+            else:
+                read.append(int(b))
+        read = np.asarray(read, np.int8)
+        n = len(read)
+        insq = rng.integers(1, 30, n)
+        delq = rng.integers(1, 30, n)
+        subq = rng.integers(1, 30, n)
+        dtag = rng.integers(0, 5, n)
+        stag = rng.integers(0, 5, n)
+        want = oracle_qv(read, tgt, submat, insq, delq, subq, dtag, stag,
+                         np.full(n, 13), np.full(n, 20))
+        cigar, score = full_qv_align(
+            read, tgt,
+            QVTracks(ins_qv=insq, del_qv=delq, sub_qv=subq),
+            match_score=-5.0, del_tag=dtag, sub_tag=stag)
+        assert score == want
+        nq = sum(c for op, c in cigar if op in "=XI")
+        nt = sum(c for op, c in cigar if op in "=XD")
+        assert nq == n and nt == m
+        # replay the path cost
+        total, qi, ti = 0.0, 0, 0
+        for op, c in cigar:
+            for _ in range(c):
+                if op in "=X":
+                    if tgt[ti] == read[qi] and read[qi] < 4:
+                        total += -5.0
+                    else:
+                        total += subq[qi] if tgt[ti] == stag[qi] else 20
+                    qi += 1
+                    ti += 1
+                elif op == "I":
+                    total += insq[qi]
+                    qi += 1
+                else:
+                    r = max(qi - 1, 0)
+                    total += delq[r] if tgt[ti] == dtag[r] else 13
+                    ti += 1
+        assert total == score

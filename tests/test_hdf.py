@@ -249,3 +249,73 @@ def test_load_pulses_pulse_metrics(bax_world, tmp_path):
     # unsupported metric -> loud failure
     assert lp_run([str(path), str(cmp_path),
                    "-metrics", "NotAMetric"]) == 1
+
+
+def test_bax2bam_scraps_full_roundtrip(tmp_path):
+    """Subread mode emits subreads + scraps (adapter sc:A, LQ sc:L) with
+    PacBio RG conventions; bam2bax over BOTH files reconstructs the full
+    polymerase read, the Adapter rows and the HQ region (reference
+    bax2bam SubreadConverter + scraps contract)."""
+    import hashlib
+
+    from blasr_tpu.cli.bam2bax import run as b2x
+    from blasr_tpu.cli.bax2bam import run as x2b
+    from blasr_tpu.io.bam import read_bam
+
+    ADA = REGION_TYPES.index("Adapter")
+    rng = np.random.default_rng(81)
+    hole = 12
+    ins1 = rng.integers(0, 4, 180).astype(np.int8)
+    ins2 = rng.integers(0, 4, 220).astype(np.int8)
+    adapter = rng.integers(0, 4, 45).astype(np.int8)
+    lq_head = rng.integers(0, 4, 30).astype(np.int8)
+    lq_tail = rng.integers(0, 4, 25).astype(np.int8)
+    seq = np.concatenate([lq_head, ins1, adapter, ins2, lq_tail])
+    n = len(seq)
+    a0 = 30 + 180
+    rows = [
+        [hole, INS, 30, a0, -1],
+        [hole, ADA, a0, a0 + 45, -1],
+        [hole, INS, a0 + 45, a0 + 45 + 220, -1],
+        [hole, HQ, 30, n - 25, 760],
+    ]
+    tracks = {
+        "QualityValue": rng.integers(10, 40, n).astype(np.uint8),
+        "InsertionQV": rng.integers(5, 30, n).astype(np.uint8),
+        "DeletionTag": np.full(n, ord("N"), np.uint8),
+    }
+    path = tmp_path / "m_scr.bax.h5"
+    write_bax(str(path), "m_scr", [ZmwRead(hole, seq, tracks)],
+              np.asarray(rows, np.int32))
+    pre = str(tmp_path / "rt")
+    assert x2b([str(path), "-o", pre]) == 0
+    hdr_s, _, _, subs = read_bam(pre + ".subreads.bam")
+    hdr_c, _, _, scraps = read_bam(pre + ".scraps.bam")
+    # RG convention: md5("movie//READTYPE")[:8]
+    want_rg = hashlib.md5(b"m_scr//SUBREAD").hexdigest()[:8]
+    assert f"ID:{want_rg}" in hdr_s and "PU:m_scr" in hdr_s
+    assert "READTYPE=SUBREAD" in hdr_s and "READTYPE=SCRAP" in hdr_c
+    assert "InsertionQV=iq" in hdr_s
+    assert len(subs) == 2
+    # the subread after the adapter carries ADAPTER_BEFORE, the one
+    # before it ADAPTER_AFTER
+    cx = {r.tags["qs"]: r.tags["cx"] for r in subs}
+    assert cx[30] == 2 and cx[a0 + 45] == 1
+    assert all(abs(float(r.tags["rq"]) - 0.76) < 1e-6 for r in subs)
+    kinds = sorted(r.tags["sc"] for r in scraps)
+    assert kinds == ["A", "L", "L"]
+    # full-read reconstruction from subreads + scraps
+    assert b2x([pre + ".subreads.bam", pre + ".scraps.bam",
+                "-o", pre]) == 0
+    rdr = BaxReader(pre + ".bax.h5")
+    z = rdr.read_zmw(0)
+    np.testing.assert_array_equal(z.seq, seq)
+    np.testing.assert_array_equal(z.tracks["QualityValue"],
+                                  tracks["QualityValue"])
+    rt = rdr.region_table
+    assert rt.hq_region(hole) == (30, n - 25, 760)
+    arows = rt.for_hole(hole)
+    arows = arows[arows[:, 1] == rt.types.index("Adapter")]
+    assert [int(arows[0, 2]), int(arows[0, 3])] == [a0, a0 + 45]
+    assert rt.subread_intervals(hole) == [(30, a0), (a0 + 45, n - 25)]
+    rdr.close()
