@@ -320,6 +320,7 @@ def params_from_args(args) -> MappingParams:
         substitution_prior=args.substitutionPrior,
         global_deletion_prior=args.deletionPrior,
         ignore_qualities=not args.useQuality,
+        score_type=args.scoreType,
         concordant_template=args.concordantTemplate,
         concordant_align_both_directions=args.concordantAlignBothDirections,
         flank_size=args.flankSize,
@@ -394,10 +395,9 @@ def run(argv: Optional[List[str]] = None) -> int:
     # only speeds the reference's CPU window-advance during interval
     # search; the chain DP here is exhaustive over anchors either way, so
     # the nowarp semantics is what is always computed.
-    if args.scoreType != 0:
-        sys.stderr.write("ERROR: --scoreType != 0 is not supported by "
-                         "blasr_tpu (only the distance-matrix score "
-                         "function family is modeled)\n")
+    if args.scoreType not in (0, 1):
+        sys.stderr.write("ERROR: --scoreType must be 0 (distance-matrix "
+                         "rescore) or 1 (QV sum score)\n")
         return 1
     if args.ccsFofn:
         sys.stderr.write("ERROR: --ccsFofn is not supported by blasr_tpu "

@@ -69,7 +69,7 @@ def read_kmer_keys(reads: jnp.ndarray, read_len: jnp.ndarray, k: int):
     jax.jit,
     static_argnames=("k", "occ_per_pos", "max_anchors", "anchor_ext",
                      "min_match", "max_anchors_per_pos", "max_lcp",
-                     "advance_exact", "profile_stop"),
+                     "advance_exact", "occ_block_sample", "profile_stop"),
 )
 def find_anchors(
     genome: jnp.ndarray,        # int8 [G]
@@ -89,6 +89,14 @@ def find_anchors(
     # --advanceExactMatches E (RegisterBlasrOptions.h:64-65): after an
     # exact match of length l at read position q, skip query positions up
     # to q + l - E before seeding again — a speed knob trading sensitivity
+    occ_block_sample: bool = False,
+    # occurrence sampling layout: False = strided picket with rotating
+    # phase (default; each over-abundant seed spreads its O samples
+    # across the whole [lo, hi) range); True = a CONTIGUOUS window of O
+    # occurrences whose base rotates with the read position — same
+    # copy-coverage property across a read, but the record fetch becomes
+    # ONE [O, 6]-slice gather per position (4x fewer gather descriptors;
+    # the stage is gather-latency-bound)
     bucket_starts: jnp.ndarray = None,  # int32 [4^k+1] direct lookup table
     bucket_pairs: jnp.ndarray = None,   # int32 [4^k, 2] (start, end) rows:
     #                              one row-gather replaces the two element
@@ -154,25 +162,53 @@ def find_anchors(
     occ3 = occ[None, None, :]
     nocc3 = nocc[:, :, None]
     q = jax.lax.broadcasted_iota(jnp.int32, (B, L, O), 1)
-    # occ3*(nocc3//O) + (occ3*(nocc3%O))//O == (occ3*nocc3)//O without the
-    # int32 overflow a huge maxAnchorsPerPosition could hit
-    stride0 = occ3 * (nocc3 // O) + (occ3 * (nocc3 % O)) // O
-    strided = (stride0 + q) % jnp.maximum(nocc3, 1)
-    occ_off = jnp.where(nocc3 > O, strided, occ3)
-    idx = lo[:, :, None] + occ_off                         # [B, L, O]
-    cand_valid = pos_ok[:, :, None] & (occ3 < nocc3)
-    idx = jnp.clip(idx, 0, pos_sorted.shape[0] - 1)
-    if profile_stop == 2:
-        return _stop(idx, cand_valid)
     use_rec = (pos_records is not None and gwords is not None
                and anchor_ext <= 32)
-    if use_rec:
-        rec = jnp.take(pos_records, idx, axis=0)           # [B, L, O, 6]
-        t = rec[..., 0].astype(jnp.int32)
-        gprev = rec[..., 1].astype(jnp.int32)
+    if occ_block_sample:
+        # rotating contiguous window: O consecutive slots starting at a
+        # q-rotating base inside [lo, hi-O]; any copy of a repeat gets
+        # anchors from ~L/copies read positions, like the strided picket
+        q2 = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        span = jnp.maximum(nocc - O + 1, 1)
+        base = lo + jnp.where(nocc > O, (q2 * 97) % span, 0)
+        idx = base[:, :, None] + occ3                      # [B, L, O]
+        cand_valid = pos_ok[:, :, None] & (occ3 < nocc3)
+        idx = jnp.clip(idx, 0, pos_sorted.shape[0] - 1)
+        if profile_stop == 2:
+            return _stop(idx, cand_valid)
+        if use_rec:
+            M_rows = pos_records.shape[0]
+            starts = jnp.clip(base, 0, M_rows - O).reshape(-1, 1)
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0,))
+            rec = jax.lax.gather(
+                pos_records, starts, dn,
+                slice_sizes=(O, pos_records.shape[1]),
+            ).reshape(B, L, O, pos_records.shape[1])
+            t = rec[..., 0].astype(jnp.int32)
+            gprev = rec[..., 1].astype(jnp.int32)
+        else:
+            rec = None
+            t = jnp.take(pos_sorted, idx).astype(jnp.int32)
     else:
-        rec = None
-        t = jnp.take(pos_sorted, idx).astype(jnp.int32)    # [B, L, O]
+        # occ3*(nocc3//O) + (occ3*(nocc3%O))//O == (occ3*nocc3)//O without
+        # the int32 overflow a huge maxAnchorsPerPosition could hit
+        stride0 = occ3 * (nocc3 // O) + (occ3 * (nocc3 % O)) // O
+        strided = (stride0 + q) % jnp.maximum(nocc3, 1)
+        occ_off = jnp.where(nocc3 > O, strided, occ3)
+        idx = lo[:, :, None] + occ_off                     # [B, L, O]
+        cand_valid = pos_ok[:, :, None] & (occ3 < nocc3)
+        idx = jnp.clip(idx, 0, pos_sorted.shape[0] - 1)
+        if profile_stop == 2:
+            return _stop(idx, cand_valid)
+        if use_rec:
+            rec = jnp.take(pos_records, idx, axis=0)       # [B, L, O, 6]
+            t = rec[..., 0].astype(jnp.int32)
+            gprev = rec[..., 1].astype(jnp.int32)
+        else:
+            rec = None
+            t = jnp.take(pos_sorted, idx).astype(jnp.int32)
 
     if profile_stop == 3:
         return _stop(t, gprev if use_rec else t)

@@ -143,6 +143,11 @@ class MappingParams:
     global_deletion_prior: int = 13
     read_accuracy_prior: float = 0.85
     ignore_qualities: bool = True   # reference default (--useQuality opts in)
+    score_type: int = 0             # --scoreType: 0 = distance-matrix
+    #                                 rescore of the (possibly QV-chosen)
+    #                                 path; 1 = report the QV DP score
+    #                                 itself (alignment.sumQVScore,
+    #                                 BlasrAlignImpl.hpp:1306-1308)
 
     # modes
     forward_only: bool = False
@@ -275,6 +280,11 @@ class ShapeConfig:
     batch_size: int = 32          # reads per device batch
     max_anchors: int = 512        # anchors kept per read per strand (post top-k)
     occ_per_pos: int = 3          # SA hits taken per read position pre top-k
+    occ_block_sample: bool = False  # contiguous rotating-window occurrence
+    #                               sampling: one [O, 6]-slice gather per
+    #                               position instead of O row gathers
+    #                               (kernels.anchor; perf experiment knob,
+    #                               env BLASR_TPU_OCC_BLOCK=1)
     anchor_ext: int = 20          # max exact-match extension beyond k measured
     #                               (tuned on the bench workload: same
     #                               placement accuracy as 36/4, ~12% faster)

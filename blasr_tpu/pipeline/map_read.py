@@ -60,6 +60,11 @@ class DeviceIndex(NamedTuple):
     # beyond this find_anchors falls back to the separate gathers
     RECORDS_MAX_SLOTS = 1 << 26
 
+    # pad rows appended to pos_records so a block gather of up to
+    # RECORDS_PAD consecutive slots never clips valid rows at table end
+    # (kernels.anchor occ_block_sample; pad rows are all-N/invalid)
+    RECORDS_PAD = 1024
+
     @staticmethod
     def _build_records(genome, pos_sorted, gw, gn, k: int):
         G = genome.shape[0]
@@ -73,7 +78,10 @@ class DeviceIndex(NamedTuple):
             gidx = jnp.clip(pos + off, 0, G - 1)
             recs.append(jnp.take(gw, gidx))
             recs.append(jnp.where(pos + off < G, jnp.take(gn, gidx), allN))
-        return jnp.stack(recs, axis=1)
+        table = jnp.stack(recs, axis=1)
+        pad = jnp.zeros((DeviceIndex.RECORDS_PAD, table.shape[1]),
+                        table.dtype).at[:, 2:].set(allN)
+        return jnp.concatenate([table, pad], axis=0)
 
     @staticmethod
     def from_host(gi: GenomeIndex) -> "DeviceIndex":
@@ -312,7 +320,8 @@ def _band_offsets(mq, mt, ws, L, W, w_b,
                      "p_value_type", "lookback", "global_chain",
                      "aggressive_cut",
                      "advance_exact", "k_sdp", "sdp_occ", "between_only",
-                     "use_hp", "use_qv", "profile_stop", "tb_cap"),
+                     "use_hp", "use_qv", "qv_score_type",
+                     "occ_block_sample", "profile_stop", "tb_cap"),
 )
 def map_batch(
     index: DeviceIndex,
@@ -346,6 +355,7 @@ def map_batch(
     aggressive_cut: bool = False,
     advance_exact: int = 0, k_sdp: int = 0, sdp_occ: int = 2,
     between_only: bool = False, use_hp: bool = False, use_qv: bool = False,
+    qv_score_type: int = 0, occ_block_sample: bool = False,
     profile_stop: int = 0,
     tb_cap: int = 0,
     # traceback pair capacity: 0 = T//4 (covers ~2x(indel events)+2 pairs
@@ -371,6 +381,7 @@ def map_batch(
         k=cfg_k, occ_per_pos=O, max_anchors=A, anchor_ext=E,
         min_match=min_match, max_anchors_per_pos=max_anchors_per_pos,
         max_lcp=max_lcp, advance_exact=advance_exact,
+        occ_block_sample=occ_block_sample,
         bucket_starts=index.bucket_starts,
         bucket_pairs=index.bucket_pairs,
         gwords=index.gwords, gnwords=index.gnwords,
@@ -649,11 +660,13 @@ def map_batch(
     # device->host array is a separate round trip (expensive on remote
     # attachments), so one int32 block + the uint8 ops block beat ~15
     # small transfers
-    if use_qv:
+    if use_qv and not qv_score_type:
         # the QV DP chose the path; the reported score is the distance-
         # matrix rescore of that path (ComputeAlignmentStats with
         # distScoreFn2, BlasrAlignImpl.hpp:1304-1306; scoreType 0).
         # Untraced rows keep the QV score (they are never reported).
+        # With --scoreType 1 the QV DP score itself is reported
+        # (sumQVScore, BlasrAlignImpl.hpp:1306-1308) — res.score as-is.
         score_dist = (qv_rescore[0] * tbk.n_match.astype(jnp.float32)
                       + qv_rescore[1] * tbk.n_mismatch.astype(jnp.float32)
                       + qv_rescore[2] * tbk.n_ins.astype(jnp.float32)
@@ -1027,7 +1040,10 @@ class Mapper:
             sdp_occ=1 if p.fast_sdp else 2,
             between_only=p.refine_between_anchors_only,
             use_hp=p.affine_align and not self.use_qv,
-            use_qv=self.use_qv, tb_cap=tb_cap)
+            use_qv=self.use_qv, qv_score_type=p.score_type,
+            occ_block_sample=(cfg.occ_block_sample or bool(int(
+                os.environ.get("BLASR_TPU_OCC_BLOCK", "0")))),
+            tb_cap=tb_cap)
         return pos, kw
 
     _TAG_CODE = None

@@ -178,3 +178,48 @@ def test_word_extension_matches_byte_path():
                           gnwords=jnp.asarray(gn), **kw)
     for i in range(B):
         assert anchors_to_set(a_byte, i) == anchors_to_set(a_word, i), i
+
+
+def test_occ_block_sample_identical_when_within_capacity():
+    """With every seed's occurrence count <= O the rotating-window block
+    gather must produce exactly the strided path's anchors (the window
+    base is 0 there, and the block fetch reads the same rows)."""
+    rng = np.random.default_rng(41)
+    genome = rng.integers(0, 4, 4000).astype(np.int8)
+    reads = [genome[s:s + 160].copy() for s in (100, 900, 2400)]
+    a = run_find(genome, reads, k=10, min_match=12)
+    b = run_find(genome, reads, k=10, min_match=12, occ_block_sample=True)
+    for row in range(len(reads)):
+        assert anchors_to_set(a, row) == anchors_to_set(b, row)
+    np.testing.assert_array_equal(np.asarray(a.n_total),
+                                  np.asarray(b.n_total))
+
+
+def test_occ_block_sample_covers_repeat_copies():
+    """On a multi-copy repeat with nocc > O, the rotating window must
+    spread anchors over every copy across the read positions (the
+    coverage property the strided picket provides)."""
+    rng = np.random.default_rng(42)
+    unit = rng.integers(0, 4, 300).astype(np.int8)
+    spacer = [rng.integers(0, 4, 120).astype(np.int8) for _ in range(8)]
+    parts = []
+    starts = []
+    pos = 0
+    for i in range(8):
+        parts.append(spacer[i])
+        pos += len(spacer[i])
+        starts.append(pos)
+        parts.append(unit.copy())
+        pos += len(unit)
+    genome = np.concatenate(parts)
+    read = unit[:260].copy()
+    a = run_find(genome, [read], k=10, min_match=12, occ_per_pos=3,
+                 occ_block_sample=True)
+    hit_copies = set()
+    for j in range(a.q.shape[1]):
+        if a.valid[0, j]:
+            t = int(a.t[0, j])
+            for ci, s in enumerate(starts):
+                if s <= t < s + 300:
+                    hit_copies.add(ci)
+    assert len(hit_copies) >= 6, f"only copies {sorted(hit_copies)} anchored"

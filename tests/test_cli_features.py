@@ -289,3 +289,29 @@ def test_open_fail_warns_and_continues(world, tmp_path, capsys):
     assert "WARNING: Could not open" in err
     assert "no_such_reads.fa" in err
     assert open(out).read().strip()  # the good file still mapped
+
+
+def test_score_type_1_reports_qv_sum_score(tmp_path):
+    """--scoreType 1 + --useQuality reports the QV DP score itself
+    (alignment.sumQVScore, BlasrAlignImpl.hpp:1306-1308) while the
+    alignments (positions, CIGAR-bearing fields) stay those of the same
+    QV-chosen path as --scoreType 0."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_golden import make_qvsteer
+    reads, genome, extra = make_qvsteer(str(tmp_path))
+    out0 = tmp_path / "t0.m4"
+    out1 = tmp_path / "t1.m4"
+    assert run([reads, genome, "-m", "4", "--useQuality",
+                "--out", str(out0)]) == 0
+    assert run([reads, genome, "-m", "4", "--useQuality", "--scoreType",
+                "1", "--out", str(out1)]) == 0
+    l0 = [l.split() for l in open(out0)]
+    l1 = [l.split() for l in open(out1)]
+    assert len(l0) == len(l1) == 2
+    for a, b in zip(l0, l1):
+        assert a[0] == b[0] and a[9:12] == b[9:12]  # same placements
+        assert int(float(a[2])) != int(float(b[2]))  # different score fn
+    # bad values still fail loudly
+    assert run([reads, genome, "-m", "4", "--scoreType", "2",
+                "--out", str(tmp_path / "x.m4")]) == 1

@@ -67,7 +67,8 @@ WIRED = {
     "substitution_prior": "pipeline/scoring IDS",
     "global_deletion_prior": "pipeline/scoring IDS",
     "read_accuracy_prior": "pipeline/scoring",
-    "ignore_qualities": "select rescoring",
+    "ignore_qualities": "map_batch use_qv (QV-steered DP) + select rescoring",
+    "score_type": "map_batch qv_score_type (sumQVScore reporting)",
     "forward_only": "Mapper._collect_batch",
     "map_subreads_separately": "cli HDF extraction",
     "concordant": "pipeline/zmw",
