@@ -74,6 +74,11 @@ class GenomeIndex:
     ctab: np.ndarray          # int32 [4^ctab_k] genome k-mer counts
     suffix_array: Optional[np.ndarray] = None  # full SA (tools / --sa parity)
     bucket_starts: Optional[np.ndarray] = None  # int32 [4^k+1] direct lookup
+    # True when keys_sorted/pos_sorted contain synthetic rows that are NOT
+    # genome k-mer windows (zmw._pad_mini_index sentinel pads): disables
+    # DeviceIndex.from_host's derive-on-device path, which reconstructs the
+    # k-mer table by gathering from the genome
+    synthetic_kmer_rows: bool = False
 
     @property
     def glen(self) -> int:

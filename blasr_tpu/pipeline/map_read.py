@@ -34,6 +34,56 @@ BIG32 = 0x3FFFFFFF
 _WARMED_SHAPES: set = set()
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "build_lut", "build_pairs", "build_records"))
+def _derive_index(gsent, pos_raw, *, k: int, build_lut: bool,
+                  build_pairs: bool, build_records: bool):
+    """Derive every index array from (genome, pos_sorted) on device.
+
+    Each output is bit-identical to its host-built counterpart
+    (tests/test_device_index.py): packed extension words reproduce
+    ``index.genome.build_packed_words``, the gathered keys equal
+    ``keys_sorted`` because every pos_sorted slot is a valid k-window,
+    and the LUT counts+cumsum equals ``build_bucket_starts``'s
+    run-length scatter.  One dispatch instead of ~260 MB of host->device
+    transfers (the remote-attached link is the whole first-call cost).
+    """
+    G = gsent.shape[0]
+    g32 = gsent.astype(jnp.int32)
+
+    def shifted(j):
+        if j == 0:
+            return g32
+        return jnp.concatenate([g32[j:], jnp.full((j,), 4, jnp.int32)])
+
+    gw = jnp.zeros(G, jnp.uint32)
+    gn = jnp.zeros(G, jnp.uint32)
+    for j in range(16):
+        sh = shifted(j)
+        gw = gw | ((sh & 3).astype(jnp.uint32) << (2 * j))
+        gn = gn | (jnp.where(sh >= 4, jnp.uint32(3), jnp.uint32(0))
+                   << (2 * j))
+    keys = jnp.zeros(G, jnp.uint32)
+    for j in range(k):
+        keys = (keys << 2) | (shifted(j) & 3).astype(jnp.uint32)
+    pos_d = pos_raw.astype(jnp.int32) + 1
+    keys_sorted = jnp.take(keys, pos_d)
+    bucket_starts = bucket_pairs = records = None
+    if build_lut:
+        nb = 1 << (2 * k)
+        counts = jnp.zeros(nb + 1, jnp.int32)
+        counts = counts.at[keys_sorted.astype(jnp.int32) + 1].add(
+            1, mode="drop")
+        bucket_starts = jnp.cumsum(counts, dtype=jnp.int32)
+        if build_pairs:
+            bucket_pairs = jnp.stack(
+                [bucket_starts[:-1], bucket_starts[1:]], axis=1)
+    if build_records:
+        records = DeviceIndex._build_records(gsent, pos_d, gw, gn, k)
+    return keys_sorted, bucket_starts, bucket_pairs, gw, gn, records, pos_d
+
+
 class DeviceIndex(NamedTuple):
     """Genome index resident on device (replicated or per-shard slice)."""
 
@@ -89,36 +139,56 @@ class DeviceIndex(NamedTuple):
         # the banded DP needs its boundary cell at ta-1 to be addressable
         # even for alignments starting at the very first contig base.
         # map_batch subtracts the offset from its outputs.
-        from blasr_tpu.index.genome import build_packed_words
         sentinel = np.full(1, 4, dtype=gi.genome.dtype)
         gsent = np.concatenate([sentinel, gi.genome])
-        gw, gn = build_packed_words(gsent)
         genome_d = jnp.asarray(gsent)
+        contig_s = jnp.asarray(gi.seqdb.starts, dtype=jnp.int32) + 1
+        contig_e = jnp.asarray(
+            gi.seqdb.starts + gi.seqdb.lengths, dtype=jnp.int32) + 1
+        build_records = gi.pos_sorted.shape[0] <= DeviceIndex.RECORDS_MAX_SLOTS
+        build_lut = gi.bucket_starts is not None
+        # paired rows double the LUT footprint; worth it only while
+        # the table is small (k=14 large-genome LUTs would pay 2 GB
+        # of HBM for a ~1.5 ms/batch gather saving)
+        build_pairs = build_lut and gi.bucket_starts.shape[0] <= (1 << 25)
+        if (gi.pos_sorted.dtype == np.int32 and gi.k <= 16
+                and not getattr(gi, "synthetic_kmer_rows", False)):
+            # warm-start path: transfer ONLY genome + pos_sorted (~1/12 the
+            # bytes) and derive every other array on device in one jitted
+            # dispatch — the remote-attached transfer link is the dominant
+            # first-call cost (measured 180-560 s for the full 280 MB
+            # k=12/4.6 Mbp index vs ~20 s for these two arrays)
+            keys_d, bs_d, bp_d, gw_d, gn_d, rec_d, pos_d = _derive_index(
+                genome_d, jnp.asarray(gi.pos_sorted), k=gi.k,
+                build_lut=build_lut, build_pairs=build_pairs,
+                build_records=build_records)
+            return DeviceIndex(
+                genome=genome_d, keys_sorted=keys_d, pos_sorted=pos_d,
+                contig_starts=contig_s, contig_ends=contig_e, k=gi.k,
+                bucket_starts=bs_d, bucket_pairs=bp_d,
+                gwords=gw_d, gnwords=gn_d, pos_records=rec_d)
+        # fallback (int64 positions / k > 16): host-built arrays transferred
+        from blasr_tpu.index.genome import build_packed_words
+        gw, gn = build_packed_words(gsent)
         pos_d = jnp.asarray(gi.pos_sorted) + 1
         gw_d, gn_d = jnp.asarray(gw), jnp.asarray(gn)
         records = None
-        if pos_d.shape[0] <= DeviceIndex.RECORDS_MAX_SLOTS:
+        if build_records:
             records = DeviceIndex._build_records(
                 genome_d, pos_d, gw_d, gn_d, gi.k)
         return DeviceIndex(
             genome=genome_d,
             keys_sorted=jnp.asarray(gi.keys_sorted),
             pos_sorted=pos_d,
-            contig_starts=jnp.asarray(gi.seqdb.starts, dtype=jnp.int32) + 1,
-            contig_ends=jnp.asarray(
-                gi.seqdb.starts + gi.seqdb.lengths, dtype=jnp.int32) + 1,
+            contig_starts=contig_s,
+            contig_ends=contig_e,
             k=gi.k,
             bucket_starts=(jnp.asarray(gi.bucket_starts)
-                           if gi.bucket_starts is not None else None),
-            # paired rows double the LUT footprint; worth it only while
-            # the table is small (k=14 large-genome LUTs would pay 2 GB
-            # of HBM for a ~1.5 ms/batch gather saving)
+                           if build_lut else None),
             bucket_pairs=(jnp.asarray(
                 np.stack([gi.bucket_starts[:-1], gi.bucket_starts[1:]],
                          axis=1))
-                if gi.bucket_starts is not None
-                and gi.bucket_starts.shape[0] <= (1 << 25)
-                else None),
+                if build_pairs else None),
             gwords=gw_d,
             gnwords=gn_d,
             pos_records=records,

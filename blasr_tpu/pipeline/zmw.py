@@ -128,6 +128,9 @@ def _pad_mini_index(mini):
              np.full(mp - m, 0xFFFFFFFF, np.uint32)])
         mini.pos_sorted = np.concatenate(
             [mini.pos_sorted, np.zeros(mp - m, mini.pos_sorted.dtype)])
+        # the pad rows are not genome k-mer windows: the device-derive
+        # path would reconstruct real keys at position 0 for them
+        mini.synthetic_kmer_rows = True
     nc = mini.seqdb.n_contigs
     cp = tier(nc, 8)
     if cp > nc:

@@ -128,8 +128,21 @@ def child_phases() -> None:
     t_index = time.time() - t0
 
     params = MappingParams().make_sane()
+    t0 = time.time()
     cfg = ShapeConfig(buckets=(1024, 2048), batch_size=32, max_anchors=512)
     mapper = Mapper(gi, params, cfg)
+    t_ctor = time.time() - t0
+    # force index transfer + on-device derivation to completion so the
+    # per-bucket lower/compile clocks below don't absorb queue-wait
+    # behind in-flight transfers (round-4 finding: this phase, not
+    # lowering, is the variable 180-560 s warm-start cost)
+    t0 = time.time()
+    for name in mapper.dev._fields:
+        a = getattr(mapper.dev, name)
+        if a is not None and hasattr(a, "block_until_ready"):
+            a.block_until_ready()
+    _ = float(mapper.dev.pos_sorted.ravel()[0].astype(jnp.float32))
+    t_resident = time.time() - t0
     per_bucket = []
     for L in cfg.buckets:
         batch = mapper.batch_size_for(L)
@@ -164,6 +177,8 @@ def child_phases() -> None:
         "mode": "phases", "backend":
         __import__("jax").default_backend(),
         "index_s": round(t_index, 1),
+        "mapper_ctor_s": round(t_ctor, 1),
+        "index_transfer_s": round(t_resident, 1),
         "buckets": per_bucket,
         "cache": {k: (round(v, 2) if isinstance(v, float) else v)
                   for k, v in stats.items()},
