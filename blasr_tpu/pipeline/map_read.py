@@ -1320,6 +1320,16 @@ class Mapper:
             group, arr, lens, arr_d, lens_d, qv = staged.pop(i)
             with self.metrics.clock("mapToGenome"):
                 res = dispatch(arr_d, lens_d, qv=qv)
+            # start the device->host copy of the fused result buffer now:
+            # it queues behind this batch's compute and streams back while
+            # later batches run, so collect()'s np.asarray doesn't pay a
+            # full round trip per batch (remote-attached transfers)
+            if res.flat is not None and hasattr(res.flat,
+                                               "copy_to_host_async"):
+                try:
+                    res.flat.copy_to_host_async()
+                except Exception:
+                    pass  # backend without async D2H: collect fetches
             pending.append((group, arr, lens, qv, res))
             if len(pending) > LOOKAHEAD:
                 collect(*pending.pop(0))
