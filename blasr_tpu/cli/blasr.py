@@ -206,6 +206,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="separate region-table rgn.h5 (DEPRECATED)")
     ap.add_argument("--global", dest="globalAlign", action="store_true")
     ap.add_argument("--accuracyPrior", type=float, default=0.0)
+    # TPU-build extension: charge the candidate chain |dt-dq| anchor-bases
+    # per base of diagonal drift (0 = reference LIS weightor semantics;
+    # the ambiguity-rescue deep pass always ranks penalized)
+    ap.add_argument("--candidateDriftPenalty", type=float, default=0.0)
     ap.add_argument("--samQV", nargs="+", default=None,
                     help="QV tracks to print as SAM tags (implies "
                          "--printSAMQV)")
@@ -354,6 +358,7 @@ def params_from_args(args) -> MappingParams:
         use_hq_region_table=not args.ignoreHQRegions,
         do_global_alignment=args.globalAlign,
         accuracy_prior=args.accuracyPrior,
+        candidate_drift_penalty=args.candidateDriftPenalty,
         extend_band_size=args.extendBandSize,
         emulate_nucmer=args.nucmer,
         max_read_length=args.maxReadLength,

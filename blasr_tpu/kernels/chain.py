@@ -49,7 +49,8 @@ class Candidates(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_cand", "rank_by_pvalue", "lookback",
-                                    "p_value_type", "global_chain"))
+                                    "p_value_type", "global_chain",
+                                    "drift_penalty"))
 def chain_anchors(
     anchors: Anchors,
     read_len: jnp.ndarray,       # int32 [B]
@@ -75,6 +76,17 @@ def chain_anchors(
     # windows (RegisterBlasrOptions.h:172-173, help :331-337: "not as
     # exhaustive as the default, but much faster")
     global_chain: bool = False,
+    drift_penalty: float = 0.0,
+    # drift_penalty > 0 charges each transition |Δt - Δq| anchor-bases of
+    # weight: the guide-extraction pass uses it so a chain cannot hop
+    # between tandem-repeat copies for free (each base of diagonal drift
+    # implies >= 1 indel in the final alignment).  A REAL structural
+    # indel still hops — no same-diagonal continuation exists to beat it
+    # — which is the property a hard drift filter would lose.  The
+    # reference gets the same discipline from SDPAlign's gap costs in its
+    # guide path (BlasrAlignImpl.hpp:780-1004); its candidate RANKING
+    # (LIS weightors) has no drift term, so candidate scoring here keeps
+    # penalty 0 and only the member/guide pass sets it.
     # --globalChainType >= 1 (RegisterBlasrOptions.h:145, flows into
     # IntervalSearchParameters at BlasrAlignImpl.hpp:105): the interval
     # search chains with RestrictedGlobalChain(..., 0.1, ...) instead of
@@ -185,6 +197,8 @@ def chain_anchors(
             # anchors
             li = row(lT, i)[None, :].astype(jnp.float32)
             gain = jnp.minimum(li, jnp.minimum(dq, dt).astype(jnp.float32))
+            if drift_penalty > 0.0:
+                gain = gain - jnp.float32(drift_penalty) * drift
             cand = jnp.where(ok, Wb + gain, NEG)
             w_best = jnp.argmax(cand, axis=0)                 # [B]
             j_best = i0 - D + w_best.astype(jnp.int32)        # absolute index

@@ -88,6 +88,11 @@ class MappingParams:
     global_chain_type: int = 0
     max_lis_p_value: float = 30.0
     min_interval_weight: float = 0.0    # min summed anchor bases for a candidate
+    # anchor-bases charged per base of diagonal drift in the CANDIDATE
+    # chain (kernels.chain drift_penalty); 0 keeps the reference's
+    # drift-free LIS weightor ranking.  The guide-extraction pass always
+    # runs penalized (map_batch guide_drift) regardless of this knob.
+    candidate_drift_penalty: float = 0.0
 
     # SDP
     sdp_tuple_size: int = 11
@@ -280,6 +285,10 @@ class ShapeConfig:
     batch_size: int = 32          # reads per device batch
     max_anchors: int = 512        # anchors kept per read per strand (post top-k)
     occ_per_pos: int = 3          # SA hits taken per read position pre top-k
+    full_widen: bool = False      # widen every candidate's DP span to the
+    #                               whole read (ambiguity-rescue deep pass;
+    #                               map_read margin comment for why not
+    #                               default)
     occ_block_sample: bool = False  # contiguous rotating-window occurrence
     #                               sampling: one [O, 6]-slice gather per
     #                               position instead of O row gathers

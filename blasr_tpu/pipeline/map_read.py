@@ -152,16 +152,31 @@ class DeviceIndex(NamedTuple):
         # of HBM for a ~1.5 ms/batch gather saving)
         build_pairs = build_lut and gi.bucket_starts.shape[0] <= (1 << 25)
         if (gi.pos_sorted.dtype == np.int32 and gi.k <= 16
+                and gi.glen <= (1 << 27)
                 and not getattr(gi, "synthetic_kmer_rows", False)):
             # warm-start path: transfer ONLY genome + pos_sorted (~1/12 the
             # bytes) and derive every other array on device in one jitted
             # dispatch — the remote-attached transfer link is the dominant
             # first-call cost (measured 180-560 s for the full 280 MB
-            # k=12/4.6 Mbp index vs ~20 s for these two arrays)
+            # k=12/4.6 Mbp index vs ~20 s for these two arrays).
+            # Bounded to glen <= 128 Mbp: at 200 Mbp the derive's live-
+            # buffer peak (several [G] int32 temporaries + the k=14 LUT
+            # scatter+cumsum tables) exhausted HBM next to a second
+            # index's residency (soak builds a k=14 + k=12 pair), so
+            # genome-scale indexes keep the r03 host-transfer path.
+            # Big-k LUTs (k=14: 268M buckets, >1 GB table) are also NOT
+            # derived on device — those transfer the host table.
+            derive_lut = build_lut and (1 << (2 * gi.k)) <= (1 << 25)
             keys_d, bs_d, bp_d, gw_d, gn_d, rec_d, pos_d = _derive_index(
                 genome_d, jnp.asarray(gi.pos_sorted), k=gi.k,
-                build_lut=build_lut, build_pairs=build_pairs,
+                build_lut=derive_lut, build_pairs=build_pairs,
                 build_records=build_records)
+            if build_lut and not derive_lut:
+                bs_d = jnp.asarray(gi.bucket_starts)
+            if gi.glen >= (1 << 26):
+                # multi-GB derive: synchronize so a second index's derive
+                # can't overlap it on device (their peaks don't co-fit)
+                keys_d.block_until_ready()
             return DeviceIndex(
                 genome=genome_d, keys_sorted=keys_d, pos_sorted=pos_d,
                 contig_starts=contig_s, contig_ends=contig_e, k=gi.k,
@@ -391,7 +406,8 @@ def _band_offsets(mq, mt, ws, L, W, w_b,
                      "aggressive_cut",
                      "advance_exact", "k_sdp", "sdp_occ", "between_only",
                      "use_hp", "use_qv", "qv_score_type",
-                     "occ_block_sample", "profile_stop", "tb_cap"),
+                     "occ_block_sample", "guide_drift", "cand_drift",
+                     "full_widen", "profile_stop", "tb_cap"),
 )
 def map_batch(
     index: DeviceIndex,
@@ -426,6 +442,12 @@ def map_batch(
     advance_exact: int = 0, k_sdp: int = 0, sdp_occ: int = 2,
     between_only: bool = False, use_hp: bool = False, use_qv: bool = False,
     qv_score_type: int = 0, occ_block_sample: bool = False,
+    guide_drift: float = 1.0, cand_drift: float = 0.0,
+    full_widen: bool = False,
+    # anchor-bases charged per base of |Δt - Δq| in the GUIDE-extraction
+    # chain pass only (kernels.chain drift_penalty): keeps the band guide
+    # from hopping between tandem-repeat copies for free.  Candidate
+    # ranking stays penalty-free (reference LIS weightor semantics).
     profile_stop: int = 0,
     tb_cap: int = 0,
     # traceback pair capacity: 0 = T//4 (covers ~2x(indel events)+2 pairs
@@ -469,7 +491,8 @@ def map_batch(
                               indel_rate=indel_rate,
                               rank_by_pvalue=p_value_type in (0, 1, 2),
                               p_value_type=p_value_type, lookback=lookback,
-                              global_chain=global_chain)
+                              global_chain=global_chain,
+                              drift_penalty=cand_drift)
     # significance gate: drop candidate intervals explainable by chance
     # (reference: anchor-distribution mapQV gate + LIS P-value,
     # BlasrAlignImpl.hpp:391-488)
@@ -503,7 +526,24 @@ def map_batch(
     if profile_stop == 2:
         return _stop(cands.q_start, cands.q_end, cands.t_start, cands.t_end,
                      cands.score, cands.valid)
-    mq, mt, ml, mvalid = chain_members(cands, anchors, max_chain=max_chain)
+    if guide_drift > 0.0:
+        # guide members come from a drift-penalized chain pass: same end
+        # anchors, but the path into the past pays |Δt - Δq| per
+        # transition, so it cannot mosaic across tandem-repeat copies
+        # (a real structural indel still hops — no same-diagonal
+        # alternative exists to outbid it).  Candidate intervals/scores
+        # above stay penalty-free.
+        pen = chain_anchors(anchors, rlen2, n_cand=1,
+                            indel_rate=indel_rate,
+                            rank_by_pvalue=p_value_type in (0, 1, 2),
+                            p_value_type=p_value_type, lookback=lookback,
+                            global_chain=global_chain,
+                            drift_penalty=guide_drift)
+        cands_for_guide = cands._replace(parent=pen.parent)
+    else:
+        cands_for_guide = cands
+    mq, mt, ml, mvalid = chain_members(cands_for_guide, anchors,
+                                       max_chain=max_chain)
     if profile_stop == 3:
         return _stop(mq, mt, ml, mvalid)
 
@@ -535,12 +575,20 @@ def map_batch(
         return jnp.take(x.reshape(n2 * C, *x.shape[2:]), sel, axis=0)
 
     # widen the chain span toward the read ends: error-dense head/tail
-    # regions often carry no anchors, but the global banded DP aligns them
+    # regions often carry no anchors, but the banded DP aligns them
     # correctly once inside the span (AlignIntervals aligns the whole
-    # subread against the interval; chain spans underestimate it).  Each
-    # side widens by the available query overhang (up to `margin`), and
-    # the target by the same amount, so full-span chains are unchanged.
-    margin = 96
+    # subread against the interval; chain spans underestimate it).
+    # Default cap 96: the DP is GLOBAL inside [qa, qb], so unbounded
+    # widening would force junk through alignments whose read genuinely
+    # ends elsewhere (a spliced read's other half, chimeras — the onegap
+    # path needs the two pieces SEPARATE).  full_widen=True (the
+    # ambiguity-rescue deep pass) widens to the whole read: in a deep
+    # tandem array the true copy's chain often starts mid-read, and its
+    # honest full-span alignment can never materialize under the cap,
+    # losing on span to a mosaic wrong-copy alignment
+    # (tools/diag_tandem.py); W is sized for a full read + band either
+    # way.
+    margin = L if full_widen else 96
     read_row = sel // C                                      # [N_dp]
     rlen_sel = jnp.take(rlen2, read_row)
     qa0 = pick(cands.q_start)
@@ -1113,6 +1161,8 @@ class Mapper:
             use_qv=self.use_qv, qv_score_type=p.score_type,
             occ_block_sample=(cfg.occ_block_sample or bool(int(
                 os.environ.get("BLASR_TPU_OCC_BLOCK", "0")))),
+            cand_drift=p.candidate_drift_penalty,
+            full_widen=cfg.full_widen,
             tb_cap=tb_cap)
         return pos, kw
 
@@ -1499,10 +1549,19 @@ class Mapper:
                     self.gi.genome[gs:gs + (a.tend - a.tstart)])
 
     def _max_seed_depth(self, rec: FastaRecord) -> int:
-        """Deepest k-mer occurrence count along a read (host-side; feeds
-        the ambiguity rescue's emit-all occurrence capacity)."""
+        """Deepest k-mer occurrence count along a read, BOTH orientations
+        (host-side; feeds the ambiguity rescue's emit-all occurrence
+        capacity).  The index is forward-strand only, so a reverse-strand
+        read's own k-mers barely hit it — the rc probe is what sees the
+        true depth (a strand-1 tandem read measured depth 3 vs ~100)."""
+        fwd = np.asarray(rec.seq)
+        comp = np.array([3, 2, 1, 0, 4], dtype=fwd.dtype)
+        rc = comp[fwd[::-1]]
+        return max(self._max_seed_depth_1(fwd),
+                   self._max_seed_depth_1(rc))
+
+    def _max_seed_depth_1(self, seq: np.ndarray) -> int:
         gi = self.gi
-        seq = np.asarray(rec.seq)
         k = gi.k
         if len(seq) < k:
             return 0
@@ -1602,25 +1661,41 @@ class Mapper:
                     return 0.0
                 return max(a.qend - a.qstart for a in order[j]) / len(r.seq)
 
-            def ambiguous(j):
-                """Best placement has a distinct-locus competitor within
-                15% of its score: occurrence sampling may have starved the
-                true copy's anchors, handing the win to a fully-anchored
-                wrong copy via band quality (the reference never has this
-                failure mode because it emits every occurrence — repeat
-                microbench: 20/24 own-copy default vs 24/24 emit-all)."""
+            def ambiguous(j, rlen):
+                """Best placement has a distinct-locus competitor that is
+                either within 15% of its score, or TRUNCATED but per-base
+                competitive (full-span extrapolation would beat the best,
+                and its identity is at least the best's): occurrence
+                sampling may have starved the true copy's anchors, handing
+                the win to a fully-anchored wrong copy via chain coverage
+                (the reference never has this failure mode because it
+                emits every occurrence — repeat microbench: 20/24 own-copy
+                default vs 24/24 emit-all; 150-copy tandem diag: the true
+                chain interval often starts mid-read)."""
                 alns = order[j]
                 if not alns or len(alns) < 2:
                     return False
                 best = min(alns, key=lambda a: a.score)
+                bspan = max(best.qend - best.qstart, 1)
                 for a in alns:
-                    if a is best or a.score > best.score * 0.85:
+                    if a is best:
                         continue
-                    if a.tindex != best.tindex or a.strand != best.strand:
+                    distinct = (a.tindex != best.tindex
+                                or a.strand != best.strand)
+                    if not distinct:
+                        ov = (min(a.tend, best.tend)
+                              - max(a.tstart, best.tstart))
+                        distinct = 2 * ov < min(a.tend - a.tstart,
+                                                best.tend - best.tstart)
+                    if not distinct:
+                        continue
+                    if a.score <= best.score * 0.85:
                         return True
-                    ov = min(a.tend, best.tend) - max(a.tstart, best.tstart)
-                    if 2 * ov < min(a.tend - a.tstart,
-                                    best.tend - best.tstart):
+                    span = max(a.qend - a.qstart, 1)
+                    if (span < 0.9 * rlen and span < bspan
+                            and a.pct_similarity
+                            >= best.pct_similarity - 2.0
+                            and (a.score / span) * rlen < best.score):
                         return True
                 return False
 
@@ -1629,7 +1704,15 @@ class Mapper:
                 total, clipped = self._anchor_totals.get(id(r), (0, 0))
                 if clipped > max(total, 64) and coverage(j, r) < 0.5:
                     deep.append((j, r))
-                elif clipped > 0 and ambiguous(j):
+                elif clipped > 0 and ambiguous(j, len(r.seq)):
+                    deep.append((j, r))
+                elif clipped > 16 * max(total, 64):
+                    # the read lives inside a deep repeat family (nearly
+                    # every seed clipped): sampling may have handed the
+                    # win to a wrong copy without leaving a visible
+                    # competitor, so no score-based trigger can fire.
+                    # The retry's result only replaces on a strictly
+                    # better score, so this can't hurt accuracy.
                     deep.append((j, r))
             if deep:
                 # raise the occurrence capacity to the deepest observed
@@ -1645,8 +1728,20 @@ class Mapper:
                 dcfg = dataclasses.replace(
                     self.cfg,
                     occ_per_pos=max(occ, self.cfg.occ_per_pos),
-                    max_anchors=max(2048, self.cfg.max_anchors))
-                dm = Mapper(self.gi, p, dcfg, metrics=self.metrics,
+                    max_anchors=max(2048, self.cfg.max_anchors),
+                    full_widen=True)
+                # the deep pass also ranks candidates drift-penalized:
+                # with emit-all anchors every repeat copy chains to a
+                # near-tie and mosaic chains hop copies for free, so the
+                # true copy often misses the top-C cut (150-copy tandem
+                # diag).  The rescue is already beyond reference
+                # semantics; penalized ranking here leaves the default
+                # pass reference-faithful while making the retry actually
+                # resolve what it was invoked for.
+                p_deep = (p if p.candidate_drift_penalty > 0 else
+                          dataclasses.replace(
+                              p, candidate_drift_penalty=1.0))
+                dm = Mapper(self.gi, p_deep, dcfg, metrics=self.metrics,
                             dev=self.dev)
                 dm._ambiguity_rescue = False
                 with self.metrics.clock("ambiguityRescue"):

@@ -114,7 +114,8 @@ def test_sam_subread_context_threading(world, tmp_path):
 def test_loud_rejects_for_unsupported_flags(world, capsys):
     d, contigs = world
     a = [str(d / "reads.fa"), str(d / "genome.fa")]
-    assert run(a + ["--scoreType", "1"]) == 1
+    # --scoreType 1 (sumQVScore) is supported since round 4
+    assert run(a + ["--scoreType", "1", "--out", str(d / "st1.m4")]) == 0
     assert run(a + ["--ccsFofn", "x.fofn"]) == 1
     assert run(a + ["--lcpBounds", "b.txt"]) == 1
     assert run(a + ["--samplePaths"]) == 1

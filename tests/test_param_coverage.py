@@ -60,6 +60,9 @@ WIRED = {
     "use_region_table": "cli HDF extraction (--ignoreRegions)",
     "use_hq_region_table": "cli HDF extraction (--ignoreHQRegions)",
     "accuracy_prior": "select.num_significant_clusters p_acc override",
+    "candidate_drift_penalty": "map_batch cand_drift -> kernels.chain "
+                               "drift_penalty (candidate ranking; the "
+                               "rescue deep pass defaults it to 1.0)",
     "sam_qv_list": "io/formats samQV tag subset",
     "min_fraction_to_be_considered_overlapping": "select partition",
     "store_map_qv": "cli emit (--noStoreMapQV)",

@@ -212,3 +212,56 @@ def test_structured_genome_placement_and_mapqv_calibration():
     # assert above is the contract)
     assert n_correct >= int(0.7 * len(reads)), \
         f"{n_correct}/{len(reads)} placed"
+
+
+def test_deep_tandem_array_own_copy_placement():
+    """150-copy alpha-satellite-like array (tools/diag_tandem.py class):
+    long reads sampled inside the array place at their OWN copy.  Pins
+    the round-4 fix stack: drift-penalized guide extraction (a chain
+    could mosaic across copies for free, poisoning every candidate's
+    band), full-overhang interval widening (a truncated true-copy chain
+    could never materialize its full-span alignment), both-orientation
+    seed-depth probing, and the deep-seed (16x clipped) rescue trigger
+    with drift-penalized candidate ranking."""
+    from blasr_tpu.pipeline.select import store_map_qvs
+    from blasr_tpu.sim import SimRead, mutate, structured_genome
+    from blasr_tpu.io.fasta import revcomp
+    from blasr_tpu.params import ShapeConfig
+
+    contigs, features = structured_genome(
+        1_500_000, seed=5, n_tandem=1, tandem_copies=(150, 151),
+        tandem_period=171, tandem_divergence=0.015)
+    feat = [f for f in features if f.kind == "tandem"][0]
+    rng = np.random.default_rng(6)
+    g = contigs[0].seq
+    sims = []
+    for i in range(12):
+        rl = int(rng.integers(800, 1600))
+        lo = max(0, feat.start - rl // 4)
+        hi = min(len(g) - rl, feat.end - 3 * rl // 4)
+        ts = int(rng.integers(lo, hi))
+        frag = g[ts:ts + rl]
+        strand = int(rng.integers(0, 2))
+        if strand:
+            frag = revcomp(frag)
+        seq = mutate(frag, rng, 0.03, 0.075, 0.045)
+        sims.append(SimRead(FastaRecord(f"sim/{i}/0_{len(seq)}", seq),
+                            0, ts, ts + rl, strand))
+    gi = build_genome_index(contigs, k=12)
+    p = MappingParams(min_match_length=12).make_sane()
+    m = Mapper(gi, p, ShapeConfig(buckets=(2048,), batch_size=32,
+                                  max_anchors=512))
+    res = m.map_reads([s.rec for s in sims])
+    n_ok = hi_wrong = 0
+    for s, alns in zip(sims, res):
+        assert alns, f"array read at {s.tstart} unmapped"
+        store_map_qvs(alns, p, gi)
+        a = min(alns, key=lambda x: x.score)
+        proj = a.tstart - (a.qstart if a.strand == 0
+                           else len(s.rec.seq) - a.qend)
+        ok = abs(proj - s.tstart) <= 100
+        n_ok += ok
+        if not ok and a.map_qv >= 30:
+            hi_wrong += 1
+    assert hi_wrong == 0, f"{hi_wrong} confidently-wrong array placements"
+    assert n_ok >= 11, f"{n_ok}/12 own-copy placements"
