@@ -482,11 +482,15 @@ def map_batch(
         return _stop(anchors.hits_t, anchors.q, anchors.t,
                      anchors.l, anchors.n_total)
 
-    # the chain scan emits max(C, 8) intervals: the first C feed the DP
-    # path; all of them are recorded as the ClusterList analog so
-    # numSignificantClusters can exceed nCandidates (the reference's
-    # clusterList sees every examined window, BlasrAlignImpl.hpp:436-455)
-    C_stat = max(C, 8)
+    # the chain scan emits max(2C, 16) intervals: the first C feed the
+    # DP path (the selection scan is greedy, so a deeper extraction
+    # picks the identical first C); all of them are recorded as the
+    # ClusterList analog so numSignificantClusters can EXCEED
+    # nCandidates — required for ScaleMapQVByClusterSize to ever fire
+    # (the reference's clusterList sees every examined window,
+    # BlasrAlignImpl.hpp:436-455; with C_stat == C the count was capped
+    # at nCandidates and the guard was dead code)
+    C_stat = max(2 * C, 16)
     cands_all = chain_anchors(anchors, rlen2, n_cand=C_stat,
                               indel_rate=indel_rate,
                               rank_by_pvalue=p_value_type in (0, 1, 2),
@@ -1729,6 +1733,10 @@ class Mapper:
                     self.cfg,
                     occ_per_pos=max(occ, self.cfg.occ_per_pos),
                     max_anchors=max(2048, self.cfg.max_anchors),
+                    # a 150-copy family competes for candidate slots;
+                    # 10 of ~150 near-ties rarely include the true copy
+                    # even with drift-penalized ranking
+                    n_candidates=max(32, self.cfg.n_candidates),
                     full_widen=True)
                 # the deep pass also ranks candidates drift-penalized:
                 # with emit-all anchors every repeat copy chains to a

@@ -130,6 +130,12 @@ def main() -> int:
     t0 = time.time()
     results = mapper.map_reads(recs)
     dt = time.time() - t0
+    # real mapQVs, as the CLI assigns them (cli/blasr.py): without this
+    # every alignment carries the constructor default 254 and the
+    # calibration row below is meaningless (round-4 finding)
+    from blasr_tpu.pipeline.select import store_map_qvs
+    for alns in results:
+        store_map_qvs(alns, params, gi)
     n_mapped = n_correct = 0
     cls_total, cls_correct = {}, {}
     hi_qv = hi_qv_wrong = 0  # mapQV calibration: P(wrong | mapQV >= 30)
@@ -180,10 +186,34 @@ def main() -> int:
         per_class[cls] = (cls_correct.get(cls, 0), cls_total[cls])
         print(f"# class {cls}: {cls_correct.get(cls, 0)}/{cls_total[cls]} "
               "correct", file=sys.stderr)
+    g_hi = g_wrong = 0
     if args.structured:
         rate = hi_qv_wrong / hi_qv if hi_qv else 0.0
         print(f"# mapQV calibration: {hi_qv_wrong}/{hi_qv} wrong at "
               f"mapQV>=30 (P = {rate:.2e})", file=sys.stderr)
+        # second row: the reference's guard against confident placement
+        # in deep repeat families (-scaleMapQVByNClusters) — re-assign
+        # mapQVs with the flag on and re-measure
+        import dataclasses as _dc
+        params_g = _dc.replace(
+            params, scale_mapqv_by_num_significant_clusters=True)
+        for alns in results:
+            store_map_qvs(alns, params_g, gi)
+        for sim, alns in zip(sims, results):
+            if not alns:
+                continue
+            best = min(alns, key=lambda a: a.score)
+            pred = best.tstart - (best.qstart if best.strand == 0
+                                  else best.qlen - best.qend)
+            ok = (best.tindex == sim.contig and best.strand == sim.strand
+                  and abs(pred - sim.tstart) < 100)
+            if best.map_qv >= 30:
+                g_hi += 1
+                g_wrong += not ok
+        g_rate = g_wrong / g_hi if g_hi else 0.0
+        print(f"# mapQV calibration (scaleMapQVByNClusters): "
+              f"{g_wrong}/{g_hi} wrong at mapQV>=30 (P = {g_rate:.2e})",
+              file=sys.stderr)
     import json
     print(json.dumps({
         "mbp": args.mbp, "k": args.k, "rescue": bool(rescue),
@@ -192,6 +222,7 @@ def main() -> int:
         "pct_correct": round(100.0 * n_correct / args.reads, 2),
         "per_class": {k: list(v) for k, v in per_class.items()},
         "hi_mapqv": hi_qv, "hi_mapqv_wrong": hi_qv_wrong,
+        "hi_mapqv_scaled": g_hi, "hi_mapqv_scaled_wrong": g_wrong,
         "reads_per_sec": round(args.reads / dt, 1)}))
     return 0
 
