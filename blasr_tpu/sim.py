@@ -44,6 +44,19 @@ class GenomeFeature:
     identity: float = 1.0     # per-copy identity vs the monomer/source
 
 
+def _hp_run_lengths(seq: np.ndarray) -> np.ndarray:
+    """Length of the homopolymer run each position belongs to."""
+    n = len(seq)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = seq[1:] != seq[:-1]
+    rid = np.cumsum(new) - 1
+    counts = np.bincount(rid)
+    return counts[rid]
+
+
 def _mutate_frac(seq: np.ndarray, rng: np.random.Generator,
                  divergence: float) -> np.ndarray:
     """Substitution-only divergence (repeat copies drift mostly by subs)."""
@@ -62,6 +75,10 @@ def structured_genome(length: int, seed: int = 0, *,
                       segdup_identity: Tuple[float, float] = (0.95, 0.995),
                       n_nrun: int = 0,
                       nrun_len: Tuple[int, int] = (100, 5_000),
+                      n_str: int = 0,
+                      str_period: Tuple[int, int] = (2, 6),
+                      str_len: Tuple[int, int] = (200, 2_000),
+                      str_divergence: float = 0.01,
                       name: str = "chrS",
                       ) -> Tuple[List[FastaRecord], List[GenomeFeature]]:
     """Random genome with planted repeat structure (the validation the
@@ -119,6 +136,22 @@ def structured_genome(length: int, seed: int = 0, *,
         g[s:s + size] = 4
         features.append(GenomeFeature("nrun", s, s + size))
 
+    for _ in range(n_str):
+        # short-period microsatellite (2-6 bp unit): the classic banded-DP
+        # / chain-drift stressor, distinct from the 171 bp tandem monomers
+        period = int(rng.integers(str_period[0], str_period[1] + 1))
+        size = int(rng.integers(*str_len))
+        size -= size % period
+        s = claim(size, margin=500)
+        if s < 0:
+            continue
+        monomer = rng.integers(0, 4, period, dtype=np.int8)
+        arr = np.tile(monomer, size // period)
+        g[s:s + size] = _mutate_frac(arr, rng, str_divergence)
+        features.append(GenomeFeature(
+            "str", s, s + size, period=period,
+            identity=1.0 - str_divergence))
+
     return [FastaRecord(name, g)], features
 
 
@@ -132,14 +165,38 @@ class SimRead:
 
 
 def mutate(seq: np.ndarray, rng: np.random.Generator,
-           sub: float, ins: float, dele: float) -> np.ndarray:
-    """Apply per-base substitution/insertion/deletion errors."""
+           sub: float, ins: float, dele: float,
+           hp_ins_mult: float = 1.0) -> np.ndarray:
+    """Apply per-base substitution/insertion/deletion errors.
+
+    ``hp_ins_mult > 1`` switches to the homopolymer-biased insertion
+    model (the dominant real PacBio CLR error mode — the reason the
+    reference carries a dedicated hp-insertion band,
+    BlasrAlignImpl.hpp:1262-1266, and IDS QV steering): positions inside
+    homopolymer runs (length >= 3) carry ``hp_ins_mult``x the insertion
+    probability of other positions, renormalized so the EXPECTED total
+    insertion count still equals ``ins * len(seq)``; 90% of hp-run
+    insertions duplicate the run base (true hp-length error) rather
+    than inserting a random base.  ``hp_ins_mult == 1.0`` is
+    bit-identical to the historical iid model (same RNG draw order) —
+    golden worlds depend on that."""
     out = []
     n = len(seq)
     r = rng.random(n)
     subs = rng.integers(1, 4, n)
-    ins_mask = rng.random(n) < ins
-    ins_base = rng.integers(0, 4, n, dtype=np.int8)
+    if hp_ins_mult != 1.0:
+        rl = _hp_run_lengths(seq)
+        hp = rl >= 3
+        w = np.where(hp, hp_ins_mult, 1.0)
+        denom = float(w.sum())
+        p_ins = np.minimum(ins * n * w / denom, 0.75) if denom else w
+        ins_mask = rng.random(n) < p_ins
+        dup = rng.random(n) < 0.9
+        ins_base = np.where(hp & dup, seq,
+                            rng.integers(0, 4, n)).astype(np.int8)
+    else:
+        ins_mask = rng.random(n) < ins
+        ins_base = rng.integers(0, 4, n, dtype=np.int8)
     for i in range(n):
         x = seq[i]
         if r[i] < dele:
@@ -160,6 +217,7 @@ def simulate_reads(
     accuracy: float = 0.85,
     seed: int = 1,
     both_strands: bool = True,
+    hp_ins_mult: float = 1.0,
 ) -> List[SimRead]:
     rng = np.random.default_rng(seed)
     err = 1.0 - accuracy
@@ -178,7 +236,7 @@ def simulate_reads(
         strand = int(rng.integers(0, 2)) if both_strands else 0
         if strand:
             frag = revcomp(frag)
-        seq = mutate(frag, rng, sub, ins, dele)
+        seq = mutate(frag, rng, sub, ins, dele, hp_ins_mult=hp_ins_mult)
         name = f"sim/{i}/0_{len(seq)}"
         out.append(SimRead(FastaRecord(name, seq), ci, ts, ts + rl, strand))
     return out

@@ -32,9 +32,14 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--structured", action="store_true",
                     help="plant tandem arrays (171 bp period), segdup "
-                    "pairs (95-99.5%% identity) and N runs; sample half "
+                    "pairs (95-99.5%% identity), short-period STR "
+                    "microsatellites and N runs; sample half "
                     "the reads from the planted features and report "
                     "per-class placement + mapQV calibration")
+    ap.add_argument("--hp-bias", type=float, default=1.0,
+                    help="homopolymer insertion-bias multiplier for the "
+                    "read error model (sim.mutate hp_ins_mult; real CLR "
+                    "error concentrates insertions in hp runs)")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +62,8 @@ def main() -> int:
             n, seed=args.seed,
             n_tandem=max(3, int(mb // 20)),
             n_segdup=max(2, int(mb // 40)),
-            n_nrun=max(2, int(mb // 20)))
+            n_nrun=max(2, int(mb // 20)),
+            n_str=max(4, int(mb // 10)))
         kinds = {}
         for f in features:
             kinds[f.kind] = kinds.get(f.kind, 0) + 1
@@ -78,7 +84,8 @@ def main() -> int:
 
     t0 = time.time()
     sims = simulate_reads(contigs, args.reads, read_len=tuple(args.read_len),
-                          accuracy=args.accuracy, seed=args.seed + 1)
+                          accuracy=args.accuracy, seed=args.seed + 1,
+                          hp_ins_mult=args.hp_bias)
     if args.structured and features:
         # re-aim half the reads at the planted features (uniform sampling
         # would barely touch them at genome scale)
@@ -101,7 +108,8 @@ def main() -> int:
             strand = int(rng.integers(0, 2))
             if strand:
                 frag = revcomp(frag)
-            seq = mutate(frag, rng, sub, ins, dele)
+            seq = mutate(frag, rng, sub, ins, dele,
+                         hp_ins_mult=args.hp_bias)
             if not len(seq):
                 continue
             sims[i] = SimRead(
@@ -217,7 +225,7 @@ def main() -> int:
     import json
     print(json.dumps({
         "mbp": args.mbp, "k": args.k, "rescue": bool(rescue),
-        "structured": bool(args.structured),
+        "structured": bool(args.structured), "hp_bias": args.hp_bias,
         "reads": args.reads, "mapped": n_mapped, "correct": n_correct,
         "pct_correct": round(100.0 * n_correct / args.reads, 2),
         "per_class": {k: list(v) for k, v in per_class.items()},
