@@ -14,9 +14,11 @@ import dataclasses
 from typing import List, Tuple
 
 from blasr_tpu.io.fasta import FastaRecord
-from blasr_tpu.pipeline.map_read import Alignment
+from blasr_tpu.pipeline.map_read import Alignment, merge_adjacent_indels
 
 OVERLAP = 1024
+GAP_MAX_Q = 512    # bridgeable query gap between collinear pieces
+GAP_DRIFT = 400    # |target gap - query gap| bound for a bridge
 
 
 def split_read(rec: FastaRecord, seg_len: int,
@@ -78,6 +80,40 @@ def trim_cigar_query_start(cigar: List, n: int):
     return out, q_rm, t_rm, (m_rm, i_rm)
 
 
+def trim_cigar_target_start(cigar: List, n: int):
+    """Drop the first n target-consuming columns.  Returns
+    (new_cigar, q_trimmed, match_trimmed) or None.  Leading query-only
+    (I) columns swallowed along the way count toward q_trimmed."""
+    out = list(cigar)
+    q_rm = t_rm = m_rm = 0
+    while out and t_rm < n:
+        op, cnt = out[0]
+        if op in "M=X":
+            take = min(cnt, n - t_rm)
+            t_rm += take
+            q_rm += take
+            m_rm += take
+            if take == cnt:
+                out.pop(0)
+            else:
+                out[0] = (op, cnt - take)
+        elif op in "DN":
+            take = min(cnt, n - t_rm)
+            t_rm += take
+            if take == cnt:
+                out.pop(0)
+            else:
+                out[0] = (op, cnt - take)
+        elif op == "I":
+            q_rm += cnt
+            out.pop(0)
+        else:
+            return None
+    if t_rm < n or not out:
+        return None
+    return out, q_rm, m_rm
+
+
 def stitch_segments(
     rec: FastaRecord,
     seg_alns: List[Tuple[int, List[Alignment]]],
@@ -107,43 +143,82 @@ def stitch_segments(
     shifted.sort(key=lambda a: (a.strand, a.tindex, qo(a), a.tstart))
 
     merged: List[Alignment] = []
+    bridged = set()
     for a in shifted:
         ok = False
         # try every open piece (newest first): a spurious interleaved hit
         # must not break the collinear chain
         for mi in range(len(merged) - 1, -1, -1):
             m = merged[mi]
+            if not (m.strand == a.strand and m.tindex == a.tindex):
+                continue
             q_overlap = qo_end(m) - qo(a)
-            if not (m.strand == a.strand and m.tindex == a.tindex
-                    and 0 <= q_overlap <= OVERLAP + 64):
+            # positive: trim the duplicated overlap from a's CIGAR.
+            # negative: a query gap (both pieces clipped noisy ends) —
+            # bridgeable below.  Indel drift makes both inexact.
+            if q_overlap > 2 * OVERLAP or -q_overlap > GAP_MAX_Q:
                 continue
-            trimmed = trim_cigar_query_start(a.cigar or [], q_overlap)
-            if trimmed is None:
+            if q_overlap >= 0:
+                trimmed = trim_cigar_query_start(a.cigar or [], q_overlap)
+                if trimmed is None:
+                    continue
+                new_cigar, _, t_rm, (m_rm, i_rm) = trimmed
+                qg = 0
+                t_gap = (a.tstart + t_rm) - m.tend
+            else:
+                new_cigar = list(a.cigar or [])
+                m_rm = i_rm = 0
+                qg = -q_overlap
+                t_gap = a.tstart - m.tend
+            extra_i = m_rm2 = 0
+            if t_gap < 0:
+                # indel drift in the trimmed overlap overshot the chain's
+                # target end: drop the duplicated target columns; their
+                # query bases become an insertion
+                tt = trim_cigar_target_start(new_cigar, -t_gap)
+                if tt is None:
+                    continue
+                new_cigar, extra_i, m_rm2 = tt
+                t_gap = 0
+            if abs(t_gap - qg) > GAP_DRIFT or t_gap > GAP_MAX_Q + GAP_DRIFT:
                 continue
-            new_cigar, _, t_rm, (m_rm, i_rm) = trimmed
-            t_gap = (a.tstart + t_rm) - m.tend
-            if 0 <= t_gap <= 400:
-                gap_cigar = [("D", t_gap)] if t_gap else []
-                # the trimmed overlap columns were matches in the earlier
-                # piece: compensate with the matrix's match score
-                match_score = -params.score_matrix[0][0] \
-                    if params.score_matrix else 5
-                merged[mi] = dataclasses.replace(
-                    m,
-                    qstart=min(m.qstart, a.qstart),
-                    qend=max(m.qend, a.qend),
-                    tend=a.tend,
-                    score=m.score + a.score + match_score * m_rm,
-                    n_match=m.n_match + max(a.n_match - m_rm, 0),
-                    n_mismatch=m.n_mismatch + a.n_mismatch,
-                    n_ins=m.n_ins + max(a.n_ins - i_rm, 0),
-                    n_del=m.n_del + a.n_del + t_gap,
-                    cigar=(m.cigar or []) + gap_cigar + new_cigar,
-                )
-                ok = True
-                break
+            gap_cigar = []
+            if qg + extra_i:
+                gap_cigar.append(("I", qg + extra_i))
+            if t_gap:
+                gap_cigar.append(("D", t_gap))
+            # the trimmed overlap columns were matches in the earlier
+            # piece: compensate with the matrix's match score; gap
+            # bridges pay per-base indel penalties
+            match_score = -params.score_matrix[0][0] \
+                if params.score_matrix else 5
+            merged[mi] = dataclasses.replace(
+                m,
+                qstart=min(m.qstart, a.qstart),
+                qend=max(m.qend, a.qend),
+                tend=a.tend,
+                score=(m.score + a.score + match_score * m_rm
+                       + params.insertion * (qg + extra_i)
+                       + params.deletion * t_gap),
+                n_match=m.n_match + max(a.n_match - m_rm - m_rm2, 0),
+                n_mismatch=m.n_mismatch + a.n_mismatch,
+                n_ins=m.n_ins + max(a.n_ins - i_rm, 0) + qg + extra_i,
+                n_del=m.n_del + a.n_del + t_gap,
+                cigar=(m.cigar or []) + gap_cigar + new_cigar,
+            )
+            if gap_cigar:
+                bridged.add(mi)
+            ok = True
+            break
         if not ok:
             merged.append(a)
+    if not getattr(params, "allow_adjacent_indels", False):
+        # gap bridges emit I and D runs back to back; fold them into M
+        # columns as the SAM printer contract requires
+        # (ctest/cigarAdjecentIndels.t)
+        merged = [dataclasses.replace(m, cigar=merge_adjacent_indels(m.cigar))
+                  if i in bridged and m.cigar else m
+                  for i, m in enumerate(merged)]
     merged.sort(key=lambda x: x.score)
     return merged
 

@@ -27,6 +27,18 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16)
     args = ap.parse_args()
 
+    import os
+    import jax
+    from blasr_tpu.hostcache import host_cache_dir
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        cache = host_cache_dir("/root/repo/tests/.jax_cache")
+    else:
+        cache = "/root/repo/.jax_cache_tpu"
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     from blasr_tpu.index import build_genome_index
     from blasr_tpu.params import MappingParams, ShapeConfig
     from blasr_tpu.pipeline.map_read import Mapper
