@@ -75,10 +75,15 @@ def _sl(x, n, fill):
 
 
 def _kernel(srb_ref, off_ref, qa_ref, qb_ref, ta_ref, tb_ref, gaps_ref,
-            window_ref,
-            combo_ref, bits_ref,
-            mM_s, mI_s, mD_s, combo_s, mcnt_s, bits_buf,
-            *, R: int, w_b: int, tgtw: int):
+            window_ref, *rest,
+            R: int, w_b: int, tgtw: int, use_qv: bool = False):
+    if use_qv:
+        (qv1_ref, qv2_ref, combo_ref, bits_ref,
+         mM_s, mI_s, mD_s, combo_s, mcnt_s, bits_buf) = rest
+    else:
+        qv1_ref = qv2_ref = None
+        (combo_ref, bits_ref,
+         mM_s, mI_s, mD_s, combo_s, mcnt_s, bits_buf) = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -109,7 +114,8 @@ def _kernel(srb_ref, off_ref, qa_ref, qb_ref, ta_ref, tb_ref, gaps_ref,
         _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
                     window_ref, combo_ref, bits_ref,
                     mM_s, mI_s, mD_s, combo_s, mcnt_s, bits_buf,
-                    R=R, w_b=w_b, tgtw=tgtw)
+                    R=R, w_b=w_b, tgtw=tgtw,
+                    qv1_ref=qv1_ref, qv2_ref=qv2_ref, use_qv=use_qv)
 
     # Skipped blocks must still define their bits output (rows >= every
     # item's qb are inactive => all-zero), so results are bit-identical
@@ -119,10 +125,22 @@ def _kernel(srb_ref, off_ref, qa_ref, qb_ref, ta_ref, tb_ref, gaps_ref,
         bits_ref[0, 0] = jnp.zeros((ITEMS, R, w_b), jnp.int32)
 
 
+def _cumsum_lanes(x):
+    """Inclusive prefix sum over the 128-lane axis (log-depth)."""
+    w_b = x.shape[1]
+    d = 1
+    while d < w_b:
+        x = x + jnp.concatenate(
+            [jnp.zeros((ITEMS, d), x.dtype), x[:, : w_b - d]], axis=1)
+        d *= 2
+    return x
+
+
 def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
                 window_ref, combo_ref, bits_ref,
                 mM_s, mI_s, mD_s, combo_s, mcnt_s, bits_buf,
-                *, R: int, w_b: int, tgtw: int):
+                *, R: int, w_b: int, tgtw: int,
+                qv1_ref=None, qv2_ref=None, use_qv: bool = False):
     wlen = window_ref.shape[2]
     ins_open = gaps_ref[0, 0]
     ins_ext = gaps_ref[0, 1]
@@ -150,14 +168,23 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
         jax.lax.broadcasted_iota(jnp.int32, (ITEMS, w_b), 1), (ITEMS, w_b)
     ).astype(jnp.float32)
 
-    def row(r2, carry, srb):
-        # srb: (ITEMS, 1) packed s*8+rb for this row
+    def row(r2, carry, srb, qvw=None, qv2h=None):
+        # srb: (ITEMS, 1) packed s*8+rb for this row; qvw/qv2h: (ITEMS, 1)
+        # packed per-row QV costs (QV-steered mode; layout kernels/banded.py)
         mM, mI, mD, mcnt, tgt2, t_abs, combo = carry
         r = j * R + r2
         s_v = srb >> 3
         rb = srb & 7
         m0 = s_v == 0
         m1 = s_v == 1
+        if use_qv:
+            insq = (qvw & 255).astype(jnp.float32)
+            delq = ((qvw >> 8) & 255).astype(jnp.float32)
+            subq = ((qvw >> 16) & 255).astype(jnp.float32)
+            dtag = (qvw >> 24) & 7
+            stag = (qvw >> 27) & 7
+            dpri = (qv2h & 255).astype(jnp.float32)
+            spri = ((qv2h >> 8) & 255).astype(jnp.float32)
 
         t_abs = t_abs + s_v
         tgt2 = jnp.where(m0, tgt2,
@@ -181,9 +208,21 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
         active = (r >= qa_v) & (r < qb_v)
         first = r == qa_v
 
+        if use_qv:
+            # per-cell deletion cost (IDS Deletion): deletionQV where the
+            # deleted target base matches the DeletionTag, else the prior
+            cd = jnp.where(tgt == dtag, delq, dpri)
+
         # boundary profiles for the virtual row qa-1
-        dta = (t_abs - ta_v).astype(jnp.float32)
-        bD = jnp.where(t_abs >= ta_v, del_open + del_ext * dta, INF)
+        if use_qv:
+            # leading-deletion profile = running sum of row qa's per-cell
+            # deletion costs from ta (the XLA kernel's cumz prefix sums,
+            # in-band: the first active row's band always covers ta)
+            bD = _cumsum_lanes(jnp.where(t_abs >= ta_v, cd, 0.0))
+            bD = jnp.where(t_abs >= ta_v, bD, INF)
+        else:
+            dta = (t_abs - ta_v).astype(jnp.float32)
+            bD = jnp.where(t_abs >= ta_v, del_open + del_ext * dta, INF)
         bM = jnp.where(t_abs == ta_v - 1, 0.0, INF)
         bM_diag = jnp.where(t_abs == ta_v, 0.0, INF)
         bDp = _sr1(bD, INF)
@@ -197,20 +236,37 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
         in_t_i = (t_abs >= ta_v - 1) & (t_abs < tb_v)
 
         eq = (tgt == rb) & (rb < 4)
-        sub = jnp.where(eq, match, mismatch)
+        if use_qv:
+            # mismatch: substitutionQV where the target base matches the
+            # SubstitutionTag, else the per-row prior (IDS Match)
+            sub = jnp.where(eq, match,
+                            jnp.where(tgt == stag, subq, spri))
+        else:
+            sub = jnp.where(eq, match, mismatch)
 
         diag_best = jnp.minimum(dM, jnp.minimum(dI, dD))
         m_src = jnp.where(dM <= diag_best, ST_M,
                           jnp.where(dI <= diag_best, ST_I, ST_D))
         M = jnp.where(in_t, sub + diag_best, INF)
 
-        i_from_m = vM + ins_open
-        i_from_i = vI + ins_ext
+        if use_qv:
+            # insertionQV prices this inserted query base (linear gap)
+            i_from_m = vM + insq
+            i_from_i = vI + insq
+        else:
+            i_from_m = vM + ins_open
+            i_from_i = vI + ins_ext
         I = jnp.where(in_t_i, jnp.minimum(i_from_m, i_from_i), INF)
         i_open = i_from_m <= i_from_i
 
         base = jnp.minimum(M, I)
-        g = jnp.where(base < INF * 0.5, base - del_ext * w_iota_f, INF)
+        if use_qv:
+            # linear per-cell deletion costs: the prefix-cummin closed
+            # form runs on the cost cumsum instead of ext*w
+            S = _cumsum_lanes(cd)
+            g = jnp.where(base < INF * 0.5, base - S, INF)
+        else:
+            g = jnp.where(base < INF * 0.5, base - del_ext * w_iota_f, INF)
         # exclusive prefix min over lanes (log-depth)
         x = _sr1(g, INF)
         d = 1
@@ -218,11 +274,15 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
             x = jnp.minimum(x, jnp.concatenate(
                 [jnp.full((ITEMS, d), INF), x[:, : w_b - d]], axis=1))
             d *= 2
-        D = jnp.where(in_t, del_ext * w_iota_f + x + (del_open - del_ext),
-                      INF)
+        if use_qv:
+            D = jnp.where(in_t, S + x, INF)
+        else:
+            D = jnp.where(in_t,
+                          del_ext * w_iota_f + x + (del_open - del_ext),
+                          INF)
         D = jnp.minimum(D, INF)
         base_prev = _sr1(base, INF)
-        d_open = D >= base_prev + del_open
+        d_open = D >= base_prev + (cd if use_qv else del_open)
         d_from_m = _sr1(M, INF) <= _sr1(I, INF)
 
         # M-run counters (cell-word layout: kernels/banded.py): packed in
@@ -272,8 +332,19 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
     def row4(r4, carry):
         # one (8,1) construct serves four rows: srb words pack 4 bytes
         srb_w = _vec8([srb_ref[0, 0, it, r4] for it in range(ITEMS)])
+        if use_qv:
+            qv2_w = [
+                _vec8([qv2_ref[0, 0, it, 2 * r4 + h] for it in range(ITEMS)])
+                for h in range(2)]  # two rows per word
         for k in range(4):
-            carry = row(r4 * 4 + k, carry, (srb_w >> (8 * k)) & 0xFF)
+            if use_qv:
+                qvw = _vec8([qv1_ref[0, 0, it, r4 * 4 + k]
+                             for it in range(ITEMS)])
+                qv2h = (qv2_w[k // 2] >> (16 * (k % 2))) & 0xFFFF
+                carry = row(r4 * 4 + k, carry, (srb_w >> (8 * k)) & 0xFF,
+                            qvw, qv2h)
+            else:
+                carry = row(r4 * 4 + k, carry, (srb_w >> (8 * k)) & 0xFF)
         return carry
 
     carry0 = (mM_s[...], mI_s[...], mD_s[...], mcnt_s[...], tgt2, t_abs,
@@ -302,12 +373,20 @@ def slope_limit_offsets(offs: jnp.ndarray, w_b: int) -> jnp.ndarray:
 def pallas_banded_align(
     reads, windows, offsets, qa, qb, ta, tb, submat,
     ins_open, ins_ext, del_open, del_ext, *, w_b: int = 128,
+    qv1=None, qv2=None,
 ) -> BandedResult:
     """Same contract as kernels.banded.banded_align (forward pass), with two
     extra requirements: ``offsets`` must advance by 0..2 per row, and
     ``submat`` must be two-valued (match on ACGT diagonal, one mismatch
     value elsewhere).  Callers check the matrix and fall back to the XLA
-    kernel otherwise."""
+    kernel otherwise.
+
+    qv1/qv2 (int32 [N, L] packed per-row QV cost tracks, layout
+    kernels/banded.py::_align_one) switch on the QV-steered mode: the
+    reference's KBandAlign with an IDS score function
+    (iblasr/BlasrAlignImpl.hpp:1276-1298), linear gaps, per-cell deletion
+    costs via an in-row cost cumsum."""
+    use_qv = qv1 is not None
     N, L = reads.shape
     W = windows.shape[1]
     R = ROWS_PER_STEP
@@ -323,6 +402,8 @@ def pallas_banded_align(
                 [x, jnp.full((n_pad,) + x.shape[1:], fill, x.dtype)], axis=0)
         reads, windows, offsets = padn(reads, 4), padn(windows, 4), padn(offsets)
         qa, qb, ta, tb = padn(qa), padn(qb), padn(ta), padn(tb)
+        if use_qv:
+            qv1, qv2 = padn(qv1), padn(qv2)
         N += n_pad
     N8 = N // ITEMS
 
@@ -345,12 +426,25 @@ def pallas_banded_align(
            | (srb4[:, :, 3] << 24))
     srb = srb.reshape(N8, ITEMS, J, R // 4).transpose(0, 2, 1, 3)
     off_t = offsets.reshape(N8, ITEMS, J, R).transpose(0, 2, 1, 3)
+    if use_qv:
+        qv1_t = qv1.astype(jnp.int32).reshape(
+            N8, ITEMS, J, R).transpose(0, 2, 1, 3)
+        q2 = qv2.astype(jnp.int32) & 0xFFFF
+        qv2_t = (q2[:, 0::2] | (q2[:, 1::2] << 16)).reshape(
+            N8, ITEMS, J, R // 2).transpose(0, 2, 1, 3)
     wpad = jnp.concatenate(
         [windows.astype(jnp.int32),
          jnp.full((N, tgtw), 4, dtype=jnp.int32)], axis=1)
     Wp = W + tgtw
 
-    kernel = functools.partial(_kernel, R=R, w_b=w_b, tgtw=tgtw)
+    kernel = functools.partial(_kernel, R=R, w_b=w_b, tgtw=tgtw,
+                               use_qv=use_qv)
+    qv_specs = [
+        pl.BlockSpec((1, 1, ITEMS, R), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.SMEM),       # qv1 (packed costs)
+        pl.BlockSpec((1, 1, ITEMS, R // 2), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.SMEM),       # qv2 (2 rows / word)
+    ] if use_qv else []
     grid_spec = pl.GridSpec(
         grid=(N8, J),
         scratch_shapes=[
@@ -378,7 +472,7 @@ def pallas_banded_align(
                          memory_space=pltpu.SMEM),   # gaps + match/mismatch
             pl.BlockSpec((1, ITEMS, Wp), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),   # window (int32)
-        ],
+        ] + qv_specs,
         out_specs=[
             pl.BlockSpec((1, ITEMS, w_b), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),   # combo
@@ -397,7 +491,8 @@ def pallas_banded_align(
     )(srb, off_t,
       qa.reshape(N8, 1, ITEMS), qb.reshape(N8, 1, ITEMS),
       ta.reshape(N8, 1, ITEMS), tb.reshape(N8, 1, ITEMS),
-      gaps, wpad.reshape(N8, ITEMS, Wp))
+      gaps, wpad.reshape(N8, ITEMS, Wp),
+      *((qv1_t, qv2_t) if use_qv else ()))
 
     combo = combo.reshape(N, w_b).min(axis=1)
     ok = combo < INF * 0.5

@@ -694,16 +694,23 @@ def map_batch(
         return _stop(offs, windows, qa, qb, ta, tb)
     if use_qv:
         # QV-steered DP (PairwiseLocalAlign QV branch): per-read packed
-        # cost tracks, reversed (+tag-complemented) for the rc rows;
-        # XLA kernel only
+        # cost tracks, reversed (+tag-complemented) for the rc rows
         qv1_2 = jnp.concatenate(
             [qv1, _revcomp_qv(qv1, read_len, tag_shifts=(24, 27))], axis=0)
         qv2_2 = jnp.concatenate([qv2, _revcomp_qv(qv2, read_len)], axis=0)
-        res = banded_align(
-            reads_sel, windows, offs, qa, qb, ta, tb, submat,
-            gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3], w_b=w_b,
-            qv1=jnp.take(qv1_2, read_row, axis=0),
-            qv2=jnp.take(qv2_2, read_row, axis=0))
+        q1r = jnp.take(qv1_2, read_row, axis=0)
+        q2r = jnp.take(qv2_2, read_row, axis=0)
+        if use_pallas:
+            from blasr_tpu.kernels.pallas_banded import pallas_banded_align
+            res = pallas_banded_align(
+                reads_sel, windows, offs, qa, qb, ta, tb, submat,
+                gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3],
+                w_b=w_b, qv1=q1r, qv2=q2r)
+        else:
+            res = banded_align(
+                reads_sel, windows, offs, qa, qb, ta, tb, submat,
+                gap_costs[0], gap_costs[1], gap_costs[2], gap_costs[3],
+                w_b=w_b, qv1=q1r, qv2=q2r)
     elif use_pallas:
         assert not use_hp, "hp-insertion band requires the XLA kernel"
         from blasr_tpu.kernels.pallas_banded import pallas_banded_align
@@ -1096,11 +1103,11 @@ class Mapper:
         self.qv_rescore = jnp.asarray(
             [m[0], m[1], p.indel, p.indel], jnp.float32)
         # the affine path carries the homopolymer-insertion band, which
-        # lives in the XLA kernel only
+        # lives in the XLA kernel only; the QV-steered mode runs in BOTH
+        # backends (round 5: pallas_banded_align qv1/qv2)
         self.use_pallas = (jax.default_backend() != "cpu"
                            and two_valued
                            and not p.affine_align
-                           and not self.use_qv
                            and self.cfg.band_width == 128)
         if p.affine_align:
             gaps = [p.affine_open + p.insertion, max(p.affine_extend, 1),

@@ -93,6 +93,40 @@ def test_n_not_multiple_of_8():
                                   np.asarray(out.score)[v])
 
 
+def test_qv_mode_matches_xla_kernel():
+    """QV-steered mode (round 5): per-row IDS cost tracks inside the
+    Pallas kernel must reproduce the XLA QV kernel bit-for-bit (scores
+    and traceback paths)."""
+    rng = np.random.default_rng(23)
+    N, L, W = 8, 256, 512
+    reads, windows, offs, qa, qb, ta, tb = _random_case(rng, N, L, W)
+    p = MappingParams().make_sane()
+    submat = jnp.asarray(np.asarray(p.score_matrix, np.float32).reshape(25))
+    insq = rng.integers(1, 30, (N, L)).astype(np.int64)
+    delq = rng.integers(1, 30, (N, L)).astype(np.int64)
+    subq = rng.integers(1, 30, (N, L)).astype(np.int64)
+    dtag = rng.choice([0, 1, 2, 3, 7], (N, L)).astype(np.int64)
+    stag = rng.choice([0, 1, 2, 3, 7], (N, L)).astype(np.int64)
+    qv1 = jnp.asarray(insq | (delq << 8) | (subq << 16) | (dtag << 24)
+                      | (stag << 27), jnp.int32)
+    qv2 = jnp.asarray(np.full((N, L), 13 | (20 << 8)), jnp.int32)
+    args = (reads, windows, offs, qa, qb, ta, tb, submat,
+            4.0, 4.0, 5.0, 5.0)
+    ref = banded_align(*args, w_b=128, qv1=qv1, qv2=qv2)
+    out = pb.pallas_banded_align(*args, w_b=128, qv1=qv1, qv2=qv2)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(out.valid))
+    v = np.asarray(ref.valid)
+    assert v.any()
+    np.testing.assert_array_equal(np.asarray(ref.score)[v],
+                                  np.asarray(out.score)[v])
+    np.testing.assert_array_equal(np.asarray(ref.final_state)[v],
+                                  np.asarray(out.final_state)[v])
+    tb_ref = banded_traceback(ref, offs, qa, qb, ta, tb, t_max=L + W)
+    tb_out = banded_traceback(out, offs, qa, qb, ta, tb, t_max=L + W)
+    np.testing.assert_array_equal(np.asarray(tb_ref.pairs)[v],
+                                  np.asarray(tb_out.pairs)[v])
+
+
 def test_affine_gaps():
     rng = np.random.default_rng(3)
     N, L, W = 8, 192, 448

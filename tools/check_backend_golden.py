@@ -16,6 +16,19 @@ sys.path.insert(0, os.path.join(
 
 import jax
 
+# persistent compile cache: identity runs at HEAD may need fresh TPU
+# compiles (HLO changes since the last run); over a degraded tunnel a
+# compile can take many minutes — never pay for it twice
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    from blasr_tpu.hostcache import host_cache_dir
+    _cache = host_cache_dir("/root/repo/tests/.jax_cache")
+else:
+    _cache = "/root/repo/.jax_cache_tpu"
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import test_golden as tg
 
 
