@@ -13,6 +13,7 @@ anchor is single-core BLASR throughput on comparable 2012-2015 x86 cores,
 that per chip.  vs_baseline = measured / 15.0 (so >= 10.0 meets target).
 """
 
+import hashlib
 import json
 import os
 import subprocess
@@ -22,6 +23,22 @@ import time
 import numpy as np
 
 ASSUMED_REFERENCE_READS_PER_SEC = 15.0
+
+
+def _code_fingerprint() -> str:
+    """Hash of the package sources: the persisted batch-size selection is
+    only valid while the compiled HLO (hence the code) is unchanged."""
+    h = hashlib.sha256()
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "blasr_tpu")
+    for root, _, files in os.walk(pkg):
+        for f in sorted(files):
+            if f.endswith((".py", ".cpp")):
+                p = os.path.join(root, f)
+                h.update(p.encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()[:16]
 
 # The remote-TPU tunnel occasionally refuses backend setup ("UNAVAILABLE:
 # TPU backend setup/compile error") or stalls mid-run; JAX caches a failed
@@ -53,10 +70,15 @@ def run_with_retries() -> int:
                 else (e.stdout or "")
         if stderr:
             sys.stderr.write(stderr)
+        # the child emits an insurance JSON line after the main
+        # measurement and a final one with the extra tiers: take the last
+        last = None
         for line in (out or "").splitlines():
             if line.startswith("{"):
-                print(line)
-                return 0
+                last = line
+        if last is not None:
+            print(last)
+            return 0
         transient = any(s in stderr for s in (
             "UNAVAILABLE", "Unavailable", "DEADLINE", "unavailable"))
         if stderr and not transient:
@@ -113,8 +135,29 @@ def main():
     warm_ids = order[:16] + order[-16:]
     warm_recs = [recs[i] for i in warm_ids]
     probe = recs[:256]
+
+    # persisted batch-size selection (VERDICT r4 #5): on a warm cache
+    # with unchanged code, skip compiling + probing the loser config —
+    # the dual probe cost the driver ~850 s of its 'warmup+select' phase
+    sel_path = os.path.join(
+        host_cache_dir(os.path.join(os.path.dirname(__file__),
+                                    ".jax_cache_tpu")), "bench_select.json")
+    fp = _code_fingerprint()
+    chosen = None
+    try:
+        with open(sel_path) as fh:
+            sel = json.load(fh)
+        if sel.get("fingerprint") == fp:
+            chosen = int(sel["batch_size"])
+            print(f"# reusing persisted batch selection: {chosen}",
+                  file=sys.stderr)
+    except Exception:
+        pass
+
     mapper, best_dt = None, float("inf")
-    for cfg in candidates:
+    todo = [c for c in candidates if chosen is None
+            or c.batch_size == chosen] or candidates
+    for cfg in todo:
         try:
             m = Mapper(gi, params, cfg)
             m.map_reads(warm_recs)  # compile (buckets in parallel)
@@ -136,6 +179,13 @@ def main():
             del m
     if mapper is None:
         raise SystemExit("no benchable configuration")
+    if len(todo) > 1:
+        try:
+            with open(sel_path, "w") as fh:
+                json.dump({"fingerprint": fp,
+                           "batch_size": mapper.cfg.batch_size}, fh)
+        except Exception:
+            pass
     print(f"# warmup+select (batch {mapper.cfg.batch_size}) "
           f"{time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -167,12 +217,50 @@ def main():
     print(f"# mapped {n_mapped}/{n_reads} reads, {bases/dt/1e6:.2f} Mbase/s, "
           f"{dt:.1f}s", file=sys.stderr)
 
-    print(json.dumps({
+    result = {
         "metric": "reads_per_sec_per_chip",
         "value": round(rps, 2),
         "unit": "reads/s",
         "vs_baseline": round(rps / ASSUMED_REFERENCE_READS_PER_SEC, 2),
-    }))
+    }
+    # insurance line: if the QV tier below hangs on a degraded tunnel,
+    # the salvaged stdout still carries the headline number (the parent
+    # takes the LAST JSON line)
+    print(json.dumps(result), flush=True)
+
+    # QV tier (VERDICT r4 #2): --useQuality is the reference's default
+    # mode for QV-bearing inputs; measure it beside the FASTA number.
+    # Same reads with synthetic FASTQ quals (the QV DP cost shape is
+    # identical for real tracks), same winning ShapeConfig.
+    if os.environ.get("BLASR_BENCH_QV", "1") != "0":
+        try:
+            from blasr_tpu.io.fasta import FastaRecord
+            rng = np.random.default_rng(13)
+            qrecs = [FastaRecord(r.title, r.seq,
+                                 rng.integers(5, 35, len(r.seq))
+                                 .astype(np.uint8))
+                     for r in recs]
+            params_qv = MappingParams(ignore_qualities=False).make_sane()
+            mq = Mapper(gi, params_qv, mapper.cfg)
+            t0 = time.time()
+            mq.map_reads([qrecs[i] for i in warm_ids])
+            print(f"# qv warmup {time.time()-t0:.1f}s", file=sys.stderr)
+            qdt = float("inf")
+            for i in range(3):
+                t0 = time.time()
+                qres = mq.map_reads(qrecs)
+                d = time.time() - t0
+                print(f"# qv pass {i}: {d:.2f}s ({n_reads/d:.1f} reads/s)",
+                      file=sys.stderr)
+                qdt = min(qdt, d)
+            qrps = n_reads / qdt
+            n_qmapped = sum(1 for r in qres if r)
+            print(f"# qv mapped {n_qmapped}/{n_reads} reads", file=sys.stderr)
+            result["qv_reads_per_sec"] = round(qrps, 2)
+        except Exception as e:
+            print(f"# qv tier failed: {e}", file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
