@@ -44,14 +44,21 @@ INF = jnp.float32(1e30)
 #   bit 5   : read base == target base at this cell
 #   bit 6   : h_open (homopolymer-insertion band opened from M)
 #   bits 7-8:  run-exit state — m_src at the start of this cell's M run
-#   bits 9-18: M-run length (consecutive state-M cells chained by
+#   bits 9-14: M-run length (consecutive state-M cells chained by
 #              m_src==M diagonal links, capped at RUN_CAP; the traceback
 #              consumes a whole run per step)
-#   bits 19-28: eq count within the run (matches; run length minus this
+#   bits 15-20: eq count within the run (matches; run length minus this
 #              is the mismatch count)
+#   bits 21-22: s_r — this row's band shift offsets[r]-offsets[r-1]
+#              (0 at the first active row; REQUIRES slope-limited
+#              offsets, the _band_offsets contract)
+#   bits 23-29: ssum — sum of s over the M-run's rows (<= 2*RUN_CAP)
+# s_r/ssum let the traceback walk band coordinates directly: one cell
+# gather per step instead of a cell gather + a dependent offsets gather
+# (the pointer chase is the step's whole cost).
 ST_M, ST_I, ST_D = 0, 1, 2
 ST_H = 3  # homopolymer-insertion state (affine hp band; bit 6 = h_open)
-RUN_CAP = 1023  # 10-bit run fields; longer runs chain in segments
+RUN_CAP = 63  # 6-bit run fields; longer runs chain in segments
 
 
 class BandedResult(NamedTuple):
@@ -157,7 +164,7 @@ def _align_one(
         return m0, jnp.full((w_b,), INF), prof, jnp.full((w_b,), INF)
 
     def step(carry, r):
-        (pM, pI, pD, pH, pR, pE, pX, po,
+        (pM, pI, pD, pH, pR, pE, pX, pS, po,
          fin_score, fin_state, fin_ok) = carry
         o_r = offsets[r]
         active = (r >= qa) & (r < qb)
@@ -179,6 +186,7 @@ def _align_one(
         dR = _shift(_pad_row(pR, 0), s - 1, w_b)
         dE = _shift(_pad_row(pE, 0), s - 1, w_b)
         dX = _shift(_pad_row(pX, 0), s - 1, w_b)
+        dS = _shift(_pad_row(pS, 0), s - 1, w_b)
         vM, vI = _shift(pMp, s, w_b), _shift(pIp, s, w_b)
         if use_hp:
             pHp = _pad_row(pH_, INF)
@@ -285,6 +293,11 @@ def _align_one(
         mrun = jnp.where(fresh, 1, dR + 1)
         meq = jnp.where(fresh, 0, dE) + eq_i
         rexit = jnp.where(fresh, jnp.where(from_m, ST_M, msrc_i), dX)
+        # saturate on offset jumps (slope > 2): s_r = 3 / ssum = 127 flag
+        # the traceback to re-derive w from offsets with a stall step
+        s_clip = jnp.minimum(s, 3)
+        ssum = jnp.where(s > 2, 127,
+                         jnp.minimum(jnp.where(fresh, s, dS + s), 127))
 
         bits = (
             msrc_i
@@ -295,7 +308,9 @@ def _align_one(
             | (h_open_bit.astype(jnp.int32) << 6)
             | (rexit << 7)
             | (mrun << 9)
-            | (meq << 19)
+            | (meq << 15)
+            | (s_clip << 21)
+            | (ssum << 23)
         )
         bits = jnp.where(active, bits, jnp.int32(0))
 
@@ -306,6 +321,7 @@ def _align_one(
         nR = jnp.where(active, mrun, pR)
         nE = jnp.where(active, meq, pE)
         nX = jnp.where(active, rexit, pX)
+        nS = jnp.where(active, ssum, pS)
         no = jnp.where(active, o_r, po)
 
         # record final score at row qb-1, cell t = tb-1
@@ -329,13 +345,13 @@ def _align_one(
         fin_state = jnp.where(hit, cstate, fin_state)
         fin_ok = fin_ok | hit
 
-        return (nM, nI, nD, nH, nR, nE, nX, no,
+        return (nM, nI, nD, nH, nR, nE, nX, nS, no,
                 fin_score, fin_state, fin_ok), bits
 
     zi = jnp.zeros((w_b,), jnp.int32)
     carry0 = (
         jnp.full((w_b,), INF), jnp.full((w_b,), INF), jnp.full((w_b,), INF),
-        jnp.full((w_b,), INF), zi, zi, zi,
+        jnp.full((w_b,), INF), zi, zi, zi, zi,
         jnp.int32(0), INF, jnp.int32(ST_M), jnp.bool_(False),
     )
     (*_, score, state, ok), tbbits = jax.lax.scan(
@@ -423,10 +439,17 @@ def banded_traceback(
     P = -(-t_max // (2 * _TB_CHUNK)) * (2 * _TB_CHUNK)
 
     def rl_step(carry, _):
-        r, t, st, done, nm, nmm, nins, ndel, npairs = carry
+        r, t, w, wbad, st, done, nm, nmm, nins, ndel, npairs = carry
         at_b = r < qa
         rc = jnp.clip(r, 0, L - 1)
-        w = t - jnp.take_along_axis(offsets, rc[:, None], axis=1)[:, 0]
+        # band coordinates are carried (updated from the in-cell s_r/ssum
+        # fields): the cell gather per step has no dependent offsets
+        # gather in front of it.  The offsets gather below is issued IN
+        # PARALLEL (depends only on the carry) and is consumed only by
+        # stall steps (wbad: the previous transition crossed a saturated
+        # offset jump, s_r == 3 / ssum == 127) which re-derive w and emit
+        # a zero-count no-op pair.
+        off_rc = jnp.take_along_axis(offsets, rc[:, None], axis=1)[:, 0]
         w_ok = (w >= 0) & (w < w_b)
         idx = rc * w_b + jnp.clip(w, 0, w_b - 1)
         cell = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
@@ -437,24 +460,31 @@ def banded_traceback(
         rexit = (cell >> 7) & 3
         # max(.,1) guards corrupt zero-run cells (can only appear off the
         # valid path): guarantees progress toward the step bound
-        mrun = jnp.maximum((cell >> 9) & 1023, 1)
-        meq = (cell >> 19) & 1023
+        mrun = jnp.maximum((cell >> 9) & 63, 1)
+        meq = (cell >> 15) & 63
+        s_r = (cell >> 21) & 3
+        ssum = (cell >> 23) & 127
 
         b_more = at_b & (t >= ta)
         b_done = at_b & (t < ta)
-        is_m = (~at_b) & (st == ST_M)
-        is_i = (~at_b) & ((st == ST_I) | (st == ST_H))
-        is_d = (~at_b) & (st == ST_D)
-        emit = ~(done | b_done)
+        stall = wbad & ~done & ~at_b
+        is_m = (~at_b) & (st == ST_M) & ~stall
+        is_i = (~at_b) & ((st == ST_I) | (st == ST_H)) & ~stall
+        is_d = (~at_b) & (st == ST_D) & ~stall
+        emit = ~(done | b_done | stall)
 
         b_cnt = jnp.minimum(t - ta + 1, _CNT_CAP)
-        op = jnp.where(~emit, 0,
+        # stall steps emit op=1 count=0 (a no-op every decoder skips) so
+        # the positional pair stream carries no mid-stream stop words
+        op = jnp.where(stall, 1,
+             jnp.where(~emit, 0,
              jnp.where(b_more, 3,
              jnp.where(is_m, 1,
-             jnp.where(is_i, 2, 3))))
-        cnt = jnp.where(b_more, b_cnt,
-              jnp.where(is_m, mrun, 1))
-        pair = jnp.where(emit, op | (cnt << 2), 0)
+             jnp.where(is_i, 2, 3)))))
+        cnt = jnp.where(stall, 0,
+              jnp.where(b_more, b_cnt,
+              jnp.where(is_m, mrun, 1)))
+        pair = jnp.where(emit | stall, op | (cnt << 2), 0)
 
         nr = jnp.where(emit & (is_m | is_i),
                        r - jnp.where(is_m, mrun, 1), r)
@@ -462,7 +492,17 @@ def banded_traceback(
                        t - jnp.where(b_more, b_cnt,
                            jnp.where(is_m, mrun,
                            jnp.where(is_d, 1, 0))), t)
-        is_h = (~at_b) & (st == ST_H)
+        # w' = t' - offsets[r']: M run lands ssum band columns right of
+        # w - mrun; I climbs one row (shift s_r); D walks one lane left
+        nw = jnp.where(stall, t - off_rc,
+             jnp.where(emit,
+                       jnp.where(is_m, w - mrun + ssum,
+                       jnp.where(is_i, w + s_r,
+                       jnp.where(is_d, w - 1, w))), w))
+        sat = (is_i & (s_r == 3)) | (is_m & (ssum == 127))
+        nwbad = jnp.where(stall, False,
+                          wbad | (emit & sat & (nr >= qa)))
+        is_h = (~at_b) & (st == ST_H) & ~stall
         nst = jnp.where(is_m, rexit,
               jnp.where(is_h, jnp.where(h_open == 1, ST_M, ST_H),
               jnp.where(is_i, jnp.where(i_open == 1, ST_M, ST_I),
@@ -478,13 +518,14 @@ def banded_traceback(
             + jnp.where(emit & b_more, b_cnt, 0)
         npairs = npairs + emit.astype(jnp.int32)
         ndone = done | b_done | ((~at_b) & ~w_ok & emit)
-        return (nr, nt, nst, ndone, nm, nmm, nins, ndel, npairs), pair
+        return (nr, nt, nw, nwbad, nst, ndone,
+                nm, nmm, nins, ndel, npairs), pair
 
     z = jnp.zeros((N,), jnp.int32)
 
     def chunk_cond(state):
         s0, carry, buf = state
-        return (s0 < P) & jnp.any(~carry[3])
+        return (s0 < P) & jnp.any(~carry[5])
 
     def chunk_body(state):
         s0, carry, buf = state
@@ -492,19 +533,22 @@ def banded_traceback(
         buf = jax.lax.dynamic_update_slice(buf, pairs.T, (0, s0))
         return s0 + _TB_CHUNK, carry, buf
 
-    carry0 = (qb - 1, tb - 1, result.final_state, ~result.valid,
+    off_last = jnp.take_along_axis(
+        offsets, jnp.clip(qb - 1, 0, L - 1)[:, None], axis=1)[:, 0]
+    carry0 = (qb - 1, tb - 1, tb - 1 - off_last, jnp.zeros((N,), bool),
+              result.final_state, ~result.valid,
               z, z, z, z, z)
     buf0 = jnp.zeros((N, P), jnp.int32)
     _, carry, buf = jax.lax.while_loop(
         chunk_cond, chunk_body, (0, carry0, buf0))
-    done = carry[3]
+    done = carry[5]
     packed = buf[:, 0::2] | (buf[:, 1::2] << 16)
     return TracebackResult(
         pairs=packed,
-        n_pairs=carry[8],
-        n_match=carry[4],
-        n_mismatch=carry[5],
-        n_ins=carry[6],
-        n_del=carry[7],
+        n_pairs=carry[10],
+        n_match=carry[6],
+        n_mismatch=carry[7],
+        n_ins=carry[8],
+        n_del=carry[9],
         overflow=~done,
     )

@@ -286,23 +286,32 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
         d_from_m = _sr1(M, INF) <= _sr1(I, INF)
 
         # M-run counters (cell-word layout: kernels/banded.py): packed in
-        # mcnt as rexit | mrun<<2 | meq<<12; diagonal predecessor via the
-        # same 3-way shift select as the score rows, fill 0
+        # mcnt as rexit | mrun<<2 | meq<<8 | ssum<<14; diagonal
+        # predecessor via the same 3-way shift select as the score rows
         def sel_d0(x):
             return jnp.where(m0, _sr1(x, 0),
                              jnp.where(m1, x, _sl(x, 1, 0)))
 
         d_cnt = sel_d0(mcnt)
         dX = d_cnt & 3
-        dR = (d_cnt >> 2) & 1023
-        dE = (d_cnt >> 12) & 1023
+        dR = (d_cnt >> 2) & 63
+        dE = (d_cnt >> 8) & 63
+        dS = (d_cnt >> 14) & 127
         from_m = m_src == ST_M
-        fresh = (~from_m) | first | (dR >= 1023)
+        fresh = (~from_m) | first | (dR >= 63)
         eq_i = eq.astype(jnp.int32)
         mrun = jnp.where(fresh, 1, dR + 1)
         meq = jnp.where(fresh, 0, dE) + eq_i
         rexit = jnp.where(fresh, jnp.where(from_m, ST_M, m_src), dX)
-        mcnt = jnp.where(active, rexit | (mrun << 2) | (meq << 12), mcnt)
+        # the XLA kernel stores s = 0 at the first active row (its carry
+        # shift is forced to 0 there); mirror for bit-identical cells.
+        # slope is {0,1,2} by kernel contract, so the XLA kernel's jump
+        # saturation (min 127) can never fire — kept for bit parity
+        s_store = jnp.where(first, 0, s_v)
+        ssum = jnp.minimum(jnp.where(fresh, s_store, dS + s_store), 127)
+        mcnt = jnp.where(active,
+                         rexit | (mrun << 2) | (meq << 8) | (ssum << 14),
+                         mcnt)
 
         bits = (m_src
                 | (i_open.astype(jnp.int32) << 2)
@@ -311,7 +320,9 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
                 | (eq_i << 5)
                 | (rexit << 7)
                 | (mrun << 9)
-                | (meq << 19))
+                | (meq << 15)
+                | (s_store << 21)
+                | (ssum << 23))
         bits = jnp.where(active, bits, 0)
         bits_buf[:, pl.ds(r2, 1), :] = bits[:, None, :]
 

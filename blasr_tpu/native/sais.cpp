@@ -187,6 +187,7 @@ int64_t cigar_decode_one(const uint32_t* words, int64_t nwords,
         uint8_t op = (uint8_t)(h & 3);
         if (op == 0) break;
         int32_t c = (int32_t)(h >> 2);
+        if (c == 0) continue;  // no-op pair (traceback stall step)
         if (!ops.empty() && ops.back() == op) {
             cnt.back() += c;
         } else {

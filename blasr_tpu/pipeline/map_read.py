@@ -945,7 +945,9 @@ def unpack_pairs(words: np.ndarray):
     ops = (h & 3).astype(np.uint8)
     stop = np.nonzero(ops == 0)[0]
     n = int(stop[0]) if stop.size else len(ops)
-    return ops[:n], (h[:n] >> 2).astype(np.int64)
+    cnts = (h[:n] >> 2).astype(np.int64)
+    keep = cnts > 0  # zero-count no-op pairs (traceback stall steps)
+    return ops[:n][keep], cnts[keep]
 
 
 def pairs_to_cigar(words: np.ndarray) -> List:
