@@ -306,8 +306,12 @@ def _block_body(j, qa_v, qb_v, ta_v, tb_v, srb_ref, off_ref, gaps_ref,
         # the XLA kernel stores s = 0 at the first active row (its carry
         # shift is forced to 0 there); mirror for bit-identical cells.
         # slope is {0,1,2} by kernel contract, so the XLA kernel's jump
-        # saturation (min 127) can never fire — kept for bit parity
-        s_store = jnp.where(first, 0, s_v)
+        # saturation (min 127) can never fire — kept for bit parity.
+        # NOTE: broadcast to full lane width BEFORE the shift/OR below —
+        # Mosaic mis-lowers an (ITEMS, 1) operand shifted then ORed into
+        # an (ITEMS, w_b) vector (observed on v5e: the field reads 0)
+        s_store = jnp.broadcast_to(jnp.where(first, 0, s_v),
+                                   (ITEMS, w_b)).astype(jnp.int32)
         ssum = jnp.minimum(jnp.where(fresh, s_store, dS + s_store), 127)
         mcnt = jnp.where(active,
                          rexit | (mrun << 2) | (meq << 8) | (ssum << 14),

@@ -92,6 +92,12 @@ CASES = [
     ("m4.unal", "unal", ["-m", "4", "--unaligned", "@D@/unal.txt"]),
     ("m4.unal.names", "unal", ["-m", "4", "--unaligned", "@D@/unal2.txt",
                                "--noPrintUnalignedSeqs"]),
+    # -- hp-biased CLR errors over STR arrays + fat homopolymer runs:
+    #    the workload the hp-insertion band (--affineAlign,
+    #    BlasrAlignImpl.hpp:1262-1266) and QV steering exist for --
+    ("m4.hpstr.affine", "hpstr", ["-m", "4", "--affineAlign"]),
+    ("sam.hpstr.qv", "hpstr", ["--sam", "--clipping", "soft",
+                               "--useQuality"]),
 ]
 
 
@@ -227,6 +233,35 @@ def make_fastq(d):
             f.write("".join(chr(int(x) + 33) for x in qual) + "\n")
     write_fasta(os.path.join(d, "genome_fq.fa"), contigs)
     return path, os.path.join(d, "genome_fq.fa"), []
+
+
+def make_hpstr(d):
+    """Homopolymer-insertion-biased reads (sim.mutate hp_ins_mult) over a
+    genome with short-period STR arrays and planted fat hp runs: real
+    PacBio CLR error concentrates insertions in homopolymers, the case
+    the affine hp-insertion band and the IDS QV steering are for."""
+    from blasr_tpu.io.fasta import decode, write_fasta
+    from blasr_tpu.sim import mutate, structured_genome
+    contigs, features = structured_genome(
+        80_000, seed=901, n_str=4, str_period=(2, 6), str_len=(400, 1200))
+    g = contigs[0].seq
+    rng = np.random.default_rng(902)
+    for pos, ln in ((12_000, 12), (33_000, 9), (61_000, 15)):
+        g[pos:pos + ln] = g[pos]
+    targets = [12_000 - 200, 33_000 - 350, 61_000 - 100]
+    targets += [f.start - 150 for f in features if f.kind == "str"][:3]
+    path = os.path.join(d, "reads_hp.fastq")
+    with open(path, "w") as f:
+        for i, ts in enumerate(targets):
+            ln = int(rng.integers(500, 800))
+            ts = max(0, min(ts, len(g) - ln))
+            seq = mutate(g[ts:ts + ln], rng, 0.02, 0.06, 0.03,
+                         hp_ins_mult=6.0)
+            qual = rng.integers(8, 40, len(seq))
+            f.write(f"@movie/{i}/0_{len(seq)}\n{decode(seq)}\n+\n")
+            f.write("".join(chr(int(x) + 33) for x in qual) + "\n")
+    write_fasta(os.path.join(d, "genome_hp.fa"), contigs)
+    return path, os.path.join(d, "genome_hp.fa"), []
 
 
 def _bax_movie(d, movie, holes, genome_seed, read_seed, junk_seed):
@@ -423,7 +458,7 @@ WORLDS = {"small": make_small, "small_bwt": make_small_bwt,
           "fastq": make_fastq, "bax": make_bax,
           "multipart": make_multipart, "dataset": make_dataset,
           "fofn": make_fofn, "bamin": make_bamin, "unal": make_unal,
-          "qvsteer": make_qvsteer}
+          "qvsteer": make_qvsteer, "hpstr": make_hpstr}
 
 
 def run_case(d, name, world, flags, world_cache):
