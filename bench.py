@@ -260,6 +260,44 @@ def main():
         except Exception as e:
             print(f"# qv tier failed: {e}", file=sys.stderr)
 
+    # Long-read tier (VERDICT r4 #3): 10-30 kb CLR reads map via
+    # segment+stitch through the SAME compiled buckets as the headline
+    # mapper, so this tier costs no extra compile — only measurement.
+    if os.environ.get("BLASR_BENCH_LR", "1") != "0":
+        try:
+            n_lr = 32
+            lr_sims = simulate_reads(contigs, n_lr,
+                                     read_len=(10_000, 30_000),
+                                     accuracy=0.85, seed=14)
+            lr_recs = [s.rec for s in lr_sims]
+            lr_bases = sum(len(r.seq) for r in lr_recs)
+            mapper.map_reads(lr_recs[:4])  # touch every bucket tier warm
+            ldt = float("inf")
+            for i in range(3):
+                t0 = time.time()
+                lres = mapper.map_reads(lr_recs)
+                d = time.time() - t0
+                print(f"# longread pass {i}: {d:.2f}s "
+                      f"({lr_bases/d/1e6:.2f} Mbase/s)", file=sys.stderr)
+                ldt = min(ldt, d)
+            n_lok = 0
+            for s, alns in zip(lr_sims, lres):
+                if not alns:
+                    continue
+                best = min(alns, key=lambda a: a.score)
+                L = len(s.rec.seq)
+                proj = best.tstart - (best.qstart if best.strand == 0
+                                      else L - best.qend)
+                if (best.strand == s.strand and abs(proj - s.tstart) < 300
+                        and best.qend - best.qstart >= 0.9 * L):
+                    n_lok += 1
+            print(f"# longread placed {n_lok}/{n_lr} full-span",
+                  file=sys.stderr)
+            result["longread_mbase_per_sec"] = round(lr_bases / ldt / 1e6, 2)
+            result["longread_reads_per_sec"] = round(n_lr / ldt, 2)
+        except Exception as e:
+            print(f"# longread tier failed: {e}", file=sys.stderr)
+
     print(json.dumps(result))
 
 
