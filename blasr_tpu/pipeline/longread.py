@@ -16,7 +16,7 @@ from typing import List, Tuple
 from blasr_tpu.io.fasta import FastaRecord
 from blasr_tpu.pipeline.map_read import Alignment, merge_adjacent_indels
 
-OVERLAP = 1024
+OVERLAP = 512
 GAP_MAX_Q = 512    # bridgeable query gap between collinear pieces
 GAP_DRIFT = 400    # |target gap - query gap| bound for a bridge
 
