@@ -210,6 +210,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # per base of diagonal drift (0 = reference LIS weightor semantics;
     # the ambiguity-rescue deep pass always ranks penalized)
     ap.add_argument("--candidateDriftPenalty", type=float, default=0.0)
+    # TPU-build extension: keep the rescue deep pass's full-span
+    # competitor alignments for the mapQV partition (repeat-interior
+    # phase-ambiguity calibration; tools/diag_str.py)
+    ap.add_argument("--fullSpanMapQV", action="store_true")
     ap.add_argument("--samQV", nargs="+", default=None,
                     help="QV tracks to print as SAM tags (implies "
                          "--printSAMQV)")
@@ -359,6 +363,7 @@ def params_from_args(args) -> MappingParams:
         do_global_alignment=args.globalAlign,
         accuracy_prior=args.accuracyPrior,
         candidate_drift_penalty=args.candidateDriftPenalty,
+        full_span_mapqv=args.fullSpanMapQV,
         extend_band_size=args.extendBandSize,
         emulate_nucmer=args.nucmer,
         max_read_length=args.maxReadLength,

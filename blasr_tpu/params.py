@@ -93,6 +93,15 @@ class MappingParams:
     # drift-free LIS weightor ranking.  The guide-extraction pass always
     # runs penalized (map_batch guide_drift) regardless of this knob.
     candidate_drift_penalty: float = 0.0
+    # merge the ambiguity-rescue deep pass's full-span competitor
+    # alignments into the read's alignment list even when its best score
+    # does not beat the original (they carry the phase-ambiguity evidence
+    # StoreMapQVs needs for repeat-interior reads: the reference aligns
+    # every interval against the full read span, so its mapQV partition
+    # sees near-tie competitors that our chain-span-bounded DP clips to
+    # low-scoring fragments — tools/diag_str.py).  Off by default to keep
+    # default output reference-faithful.
+    full_span_mapqv: bool = False
 
     # SDP
     sdp_tuple_size: int = 11

@@ -1768,6 +1768,24 @@ class Mapper:
                                  min(a.score for a in alns)
                                  < min(a.score for a in order[j])):
                         order[j] = alns
+                    elif alns and p.full_span_mapqv:
+                        # --fullSpanMapQV: the deep pass aligned every
+                        # candidate against the FULL read span; even when
+                        # its best does not beat the original, its
+                        # near-tie competitors are the phase-ambiguity
+                        # evidence the mapQV partition needs (reference
+                        # AlignIntervals semantics).  Merge non-duplicate
+                        # placements.
+                        def dup(a, existing):
+                            for e in existing:
+                                if (e.strand == a.strand
+                                        and e.tindex == a.tindex
+                                        and abs(e.tstart - a.tstart) < 128):
+                                    return True
+                            return False
+                        extra = [a for a in alns if not dup(a, order[j])]
+                        if extra:
+                            order[j] = order[j] + extra
         if self.rescue is not None:
             # cross-index rescue: unmapped or weak (< 72% similar) reads
             # re-map on the sensitive index; the better score wins

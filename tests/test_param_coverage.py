@@ -63,6 +63,9 @@ WIRED = {
     "candidate_drift_penalty": "map_batch cand_drift -> kernels.chain "
                                "drift_penalty (candidate ranking; the "
                                "rescue deep pass defaults it to 1.0)",
+    "full_span_mapqv": "Mapper.map_reads ambiguity-rescue merge (keeps "
+                       "the deep pass's full-span competitors for the "
+                       "mapQV partition; --fullSpanMapQV)",
     "sam_qv_list": "io/formats samQV tag subset",
     "min_fraction_to_be_considered_overlapping": "select partition",
     "store_map_qv": "cli emit (--noStoreMapQV)",
